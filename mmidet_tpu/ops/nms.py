@@ -1,0 +1,133 @@
+"""Fixed-shape, on-device non-maximum suppression for TPU.
+
+Replaces ``torchvision.ops.nms`` + the dynamic-shape driver at reference
+``utils/general.py:486-580`` with a jit-compatible formulation:
+
+  * everything is padded/masked — output is always ``(max_det, 6)`` plus a
+    validity count, so XLA compiles a single program for all batches;
+  * the greedy loop is *selection-based*: ``max_det`` iterations, each picking
+    the argmax-score candidate and suppressing its IoU neighbourhood.  This is
+    O(max_det * K) instead of the O(K^2) IoU-matrix formulation, so the
+    pre-NMS candidate pool K can stay large (reference uses max_nms=30000)
+    without materialising a 30000x30000 matrix;
+  * batched-per-class NMS uses the reference's class-offset trick
+    (general.py:560-562): boxes are shifted by ``class_id * max_wh`` so boxes
+    of different classes never overlap.
+
+Candidate generation mirrors the reference driver:
+  * conf = obj_conf * cls_conf (general.py:529)
+  * multi_label: every (box, class) pair above conf_thres is a candidate
+    (general.py:536-537); otherwise best-class-only (general.py:539-541)
+  * top-K by confidence caps the pool (general.py:555-557).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from mmidet_tpu.ops.boxes import xywh2xyxy
+
+
+def _nms_single(boxes: jnp.ndarray, scores: jnp.ndarray, classes: jnp.ndarray,
+                iou_thres: float, max_det: int, max_wh: float,
+                agnostic: bool) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS on one image.
+
+    boxes: (K, 4) xyxy; scores: (K,) with invalid candidates at -inf;
+    classes: (K,) float class ids.
+    Returns (keep_idx (max_det,), keep_valid (max_det,) bool).
+    """
+    k = boxes.shape[0]
+    offset = jnp.zeros_like(classes) if agnostic else classes * max_wh
+    oboxes = boxes + offset[:, None]
+    x1, y1, x2, y2 = oboxes[:, 0], oboxes[:, 1], oboxes[:, 2], oboxes[:, 3]
+    areas = (x2 - x1) * (y2 - y1)
+
+    def body(state, _):
+        active_scores = state
+        j = jnp.argmax(active_scores)
+        best = active_scores[j]
+        valid = best > -jnp.inf
+        # IoU of candidate j against the whole pool (O(K) per pick).
+        xx1 = jnp.maximum(x1, x1[j])
+        yy1 = jnp.maximum(y1, y1[j])
+        xx2 = jnp.minimum(x2, x2[j])
+        yy2 = jnp.minimum(y2, y2[j])
+        inter = jnp.clip(xx2 - xx1, 0) * jnp.clip(yy2 - yy1, 0)
+        iou = inter / (areas + areas[j] - inter + 1e-9)
+        suppress = (iou > iou_thres) | (jnp.arange(k) == j)
+        new_scores = jnp.where(valid & suppress, -jnp.inf, active_scores)
+        return new_scores, (j, valid)
+
+    _, (keep_idx, keep_valid) = jax.lax.scan(body, scores, None, length=max_det)
+    return keep_idx, keep_valid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("conf_thres", "iou_thres", "max_det", "pre_nms_topk",
+                     "multi_label", "agnostic", "max_wh"),
+)
+def non_max_suppression(prediction: jnp.ndarray,
+                        conf_thres: float = 0.25,
+                        iou_thres: float = 0.45,
+                        max_det: int = 300,
+                        pre_nms_topk: int = 4096,
+                        multi_label: bool = False,
+                        agnostic: bool = False,
+                        max_wh: float = 4096.0):
+    """Batched fixed-shape NMS.
+
+    Args:
+      prediction: (B, N, 5+nc) decoded detector output — [cx, cy, w, h,
+        obj_conf, cls_conf...] (the reference Detect inference format).
+      pre_nms_topk: static pre-NMS candidate pool size (reference max_nms cap).
+
+    Returns:
+      dets:  (B, max_det, 6) — [x1, y1, x2, y2, conf, cls], zero-padded.
+      valid: (B, max_det) bool mask of real detections.
+    """
+    nc = prediction.shape[2] - 5
+    use_multi = multi_label and nc > 1
+
+    def per_image(x):
+        boxes_xywh = x[:, :4]
+        obj = x[:, 4]
+        cls_conf = x[:, 5:] * obj[:, None]  # conf = obj_conf * cls_conf
+        boxes = xywh2xyxy(boxes_xywh)
+
+        if use_multi:
+            # every (box, class) pair is a candidate
+            n, c = cls_conf.shape
+            flat = cls_conf.reshape(-1)
+            flat = jnp.where(flat > conf_thres, flat, -jnp.inf)
+            k = min(pre_nms_topk, flat.shape[0])
+            top, idx = jax.lax.top_k(flat, k)
+            bidx = idx // c
+            cidx = (idx % c).astype(jnp.float32)
+            cboxes = boxes[bidx]
+            scores = top
+            classes = cidx
+        else:
+            conf = jnp.max(cls_conf, axis=1)
+            cidx = jnp.argmax(cls_conf, axis=1).astype(jnp.float32)
+            conf = jnp.where(conf > conf_thres, conf, -jnp.inf)
+            k = min(pre_nms_topk, conf.shape[0])
+            scores, idx = jax.lax.top_k(conf, k)
+            cboxes = boxes[idx]
+            classes = cidx[idx]
+
+        keep_idx, keep_valid = _nms_single(
+            cboxes, scores, classes, iou_thres, max_det, max_wh, agnostic)
+        out_boxes = cboxes[keep_idx]
+        out_scores = scores[keep_idx]
+        out_classes = classes[keep_idx]
+        dets = jnp.concatenate(
+            [out_boxes, out_scores[:, None], out_classes[:, None]], axis=1)
+        dets = jnp.where(keep_valid[:, None], dets, 0.0)
+        return dets, keep_valid
+
+    return jax.vmap(per_image)(prediction)
