@@ -1,0 +1,182 @@
+"""The two-stream (visible + infrared) detection model: an explicit DAG over
+the registry modules, with the Contour Enhancement front-end, the cross-modal
+fusion blocks, and the Info-Guided auxiliary losses computed in-graph.
+
+Functional parity surface: reference ``Model`` / ``forward_once``
+(``models/yolo_test.py:77-276``).  Differences by design:
+  * the layer graph is data (``ModelSpec``), executed functionally — no
+    ``nn.Sequential`` index mutation, no ``eval``;
+  * aux losses are returned in a dict, not stored on ``self``;
+  * ``aux_mode='reference'`` reproduces the reference's *effective* loss
+    surface (``Combine_loss`` is overwritten with the SSIM term at
+    ``yolo_test.py:266``); ``'full'`` keeps the a1..a4 weighted sum the code
+    intended; ``'off'`` skips aux entirely (inference).
+  * single-stream models (reference ``models/yolo.py``) run through the same
+    executor by passing a spec without ``-4`` refs and ``use_cem=False``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from mmidet_tpu.losses import fusion as fusion_losses
+from mmidet_tpu.models.detect_head import Detect
+from mmidet_tpu.models.spec import SECOND_INPUT, ModelSpec, resolve
+from mmidet_tpu.nn import layers as L
+from mmidet_tpu.nn.cem import ContourEnhance
+from mmidet_tpu.nn.fusion import (CrossModalTransformer, FourierPatternFusion,
+                                  PatternFusion)
+from mmidet_tpu.nn.resize import nearest_upsample
+
+AUX_WEIGHTS = (0.1, 1.0, 0.06, 0.03)  # a1..a4, yolo_test.py:170-178
+
+
+class TwoStreamDetector(nn.Module):
+    spec: ModelSpec
+    use_cem: bool = True
+    aux_mode: str = "reference"      # 'reference' | 'full' | 'off'
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, rgb: jnp.ndarray, ir: jnp.ndarray | None = None,
+                 train: bool = False, decode: bool | None = None):
+        """rgb/ir: NHWC float images (0..1). Returns a dict:
+        ``train_outs`` per-level (B,na,ny,nx,no); ``pred`` decoded
+        (B,N,no) when ``decode`` (default: not train); ``aux`` loss dict.
+        """
+        if decode is None:
+            decode = not train
+        resolved, save = resolve(self.spec)
+        dt = self.dtype
+        aux: dict[str, jnp.ndarray] = {}
+
+        x: Any = rgb.astype(dt)
+        x2 = None if ir is None else ir.astype(dt)
+        if self.use_cem:
+            x = ContourEnhance(rgb.shape[-1], dtype=dt,
+                               name="enhance")(x, train)
+
+        y: dict[int, Any] = {}
+        result = None
+        for rl in resolved:
+            name = f"l{rl.index}_{rl.name.replace('.', '_')}"
+            m = rl.name
+
+            def get(j):
+                if j == -1:
+                    return x
+                if j == SECOND_INPUT:
+                    if x2 is None:
+                        raise ValueError("spec needs a second (IR) input")
+                    return x2
+                return y[j]
+
+            if isinstance(rl.f, tuple):
+                inp = [get(j) for j in rl.f]
+            else:
+                inp = get(rl.f)
+
+            if m in _SIMPLE:
+                x = _SIMPLE[m](rl, dt, name)(inp, train)
+            elif m == "Concat":
+                x = jnp.concatenate(inp, axis=-1)
+            elif m == "Add":
+                x = inp[0] + inp[1]
+            elif m == "Add2":
+                x = inp[0] + inp[1][rl.args[0]]
+            elif m in ("Upsample", "nn.Upsample"):
+                x = nearest_upsample(inp, 2)
+            elif m == "Contract":
+                x = L.contract(inp, rl.args[0])
+            elif m == "Expand":
+                x = L.expand(inp, rl.args[0])
+            elif m == "GPT":
+                r, i_ = CrossModalTransformer(rl.args[0], dtype=dt,
+                                              name=name)(inp[0], inp[1], train)
+                x = [r, i_]
+            elif m in ("GPT1", "GPT1_fourier"):
+                cls = PatternFusion if m == "GPT1" else FourierPatternFusion
+                f_in = (inp[0], inp[1])
+                if self.aux_mode != "off":
+                    aux["contrastive"] = fusion_losses.contrastive_loss(
+                        f_in[0], f_in[1])
+                r, i_, pt = cls(rl.args[0], dtype=dt,
+                                name=name)(inp[0], inp[1], train)
+                x = [r, i_]
+                if self.aux_mode != "off":
+                    fused = (r + i_) / 2.0
+                    aux["pattern"] = pt
+                    aux["ssim"] = fusion_losses.fusing_loss(
+                        f_in[0], f_in[1], fused, fused)
+                    if self.aux_mode == "full":
+                        aux["entropy"] = fusion_losses.entropy_loss(
+                            f_in[0], f_in[1], fused)
+            elif m == "Detect":
+                train_outs, pred = Detect(
+                    nc=rl.args[0], anchors=rl.args[1],
+                    strides=self.spec.strides, dtype=dt,
+                    name=name)(inp, decode=decode)
+                result = {"train_outs": train_outs, "pred": pred}
+                x = train_outs
+            else:
+                raise ValueError(f"unhandled module {m}")
+
+            if rl.index in save:
+                y[rl.index] = x
+
+        if result is None:
+            raise ValueError("spec has no Detect layer")
+
+        # Combine loss (yolo_test.py:263-268): full weighted sum computed,
+        # then overwritten with the SSIM term in the reference.
+        if self.aux_mode != "off" and "ssim" in aux:
+            if self.aux_mode == "full":
+                a1, a2, a3, a4 = AUX_WEIGHTS
+                aux["combine"] = (a1 * aux["contrastive"] + a2 * aux["ssim"]
+                                  + a3 * aux["pattern"]
+                                  + a4 * aux["entropy"])
+            else:
+                aux["combine"] = aux["ssim"]
+        result["aux"] = aux
+        return result
+
+
+def _simple(builder):
+    """Wrap a (rl, dtype, name) -> module factory into x,train calling."""
+    def make(rl, dt, name):
+        mod = builder(rl, dt, name)
+        return lambda x, train: mod(x, train)
+    return make
+
+
+_SIMPLE = {
+    "Conv": _simple(lambda rl, dt, name: L.ConvBnAct(
+        rl.args[0], *rl.args[1:], dtype=dt, name=name)),
+    "Focus": _simple(lambda rl, dt, name: L.Focus(
+        rl.args[0], *rl.args[1:], dtype=dt, name=name)),
+    "Bottleneck": _simple(lambda rl, dt, name: L.Bottleneck(
+        rl.args[0], *rl.args[1:], dtype=dt, name=name)),
+    "BottleneckCSP": _simple(lambda rl, dt, name: L.BottleneckCSP(
+        rl.args[0], *rl.args[1:], dtype=dt, name=name)),
+    "C3": _simple(lambda rl, dt, name: L.C3(
+        rl.args[0], *rl.args[1:], dtype=dt, name=name)),
+    "C3TR": _simple(lambda rl, dt, name: L.C3TR(
+        rl.args[0], *rl.args[1:], dtype=dt, name=name)),
+    "SPP": _simple(lambda rl, dt, name: L.SPP(
+        rl.args[0], *rl.args[1:], dtype=dt, name=name)),
+    "SPPF": _simple(lambda rl, dt, name: L.SPPF(
+        rl.args[0], *rl.args[1:], dtype=dt, name=name)),
+    "DWConv": _simple(lambda rl, dt, name: L.DWConv(
+        rl.args[0], *rl.args[1:], dtype=dt, name=name)),
+    "GhostConv": _simple(lambda rl, dt, name: L.GhostConv(
+        rl.args[0], *rl.args[1:], dtype=dt, name=name)),
+    "GhostBottleneck": _simple(lambda rl, dt, name: L.GhostBottleneck(
+        rl.args[0], *rl.args[1:], dtype=dt, name=name)),
+    "MixConv2d": _simple(lambda rl, dt, name: L.MixConv2d(
+        rl.args[0], *rl.args[1:], dtype=dt, name=name)),
+    "CrossConv": _simple(lambda rl, dt, name: L.CrossConv(
+        rl.args[0], *rl.args[1:], dtype=dt, name=name)),
+}

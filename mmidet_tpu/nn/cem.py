@@ -1,0 +1,127 @@
+"""Contour Enhancement Module (CEM): fixed directional edge-filter bank with a
+trainable per-output-channel scale, wrapped in an expand/reduce conv residual.
+
+Functional parity surface: reference ``AdaptiveModule3`` (common.py:751-803)
+and ``EnhanceConv2d`` (common.py:806-911).  Applied to the RGB input only,
+before the backbone (yolo_test.py:98-99,187).
+
+The 8-direction bank cycles Sobel-H, Sobel-V, two diagonals (the reference's
+two diagonal cases are verbatim-identical — a quirk we reproduce),
++/-Laplacian, Prewitt-H, Prewitt-V; every input channel of a given output
+channel carries the same kernel.  The bank itself is a frozen constant; only
+the per-channel ``sobel_factor`` scale and bias train.  On TPU this is one
+ordinary XLA conv with a constant kernel scaled by a (1,1,1,C_out) factor —
+XLA folds the multiply into the conv.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmidet_tpu.nn.layers import (BN_EPS, BN_MOMENTUM, conv_kernel_init)
+
+
+@functools.lru_cache(maxsize=None)
+def edge_filter_bank(out_channels: int, in_channels: int,
+                     k: int = 3) -> np.ndarray:
+    """HWIO (k, k, in, out) constant bank. Ref: common.py:837-882."""
+    assert k % 2 == 1 and out_channels % 8 == 0
+    mid = k // 2
+    w = np.zeros((out_channels, k, k), np.float32)  # per-output 2D kernel
+    for idx in range(out_channels):
+        r = idx % 8
+        kern = w[idx]
+        if r == 0:  # Sobel horizontal
+            kern[0, :] = -1
+            kern[0, mid] = -2
+            kern[-1, :] = 1
+            kern[-1, mid] = 2
+        elif r == 1:  # Sobel vertical
+            kern[:, 0] = -1
+            kern[mid, 0] = -2
+            kern[:, -1] = 1
+            kern[mid, -1] = 2
+        elif r in (2, 3):  # diagonal (both cases identical in the reference)
+            kern[0, 0] = -2
+            for i in range(mid + 1):
+                kern[mid - i, i] = -1
+                kern[k - 1 - i, mid + i] = 1
+            kern[-1, -1] = 2
+        elif r == 4:  # Laplacian
+            kern[0, mid] = 1
+            kern[mid, :] = 1
+            kern[mid, mid] = -4
+            kern[-1, mid] = 1
+        elif r == 5:  # negative Laplacian
+            kern[0, mid] = 1
+            kern[mid, :] = 1
+            kern[mid, mid] = 4
+            kern[-1, mid] = 1
+        elif r == 6:  # Prewitt horizontal
+            kern[0, :] = -1
+            kern[-1, :] = 1
+        else:  # Prewitt vertical
+            kern[:, 0] = -1
+            kern[:, -1] = 1
+    # same kernel on every input channel: (out,k,k) -> (k,k,in,out)
+    hwio = np.broadcast_to(w.transpose(1, 2, 0)[:, :, None, :],
+                           (k, k, in_channels, out_channels))
+    return np.ascontiguousarray(hwio)
+
+
+class EnhanceConv(nn.Module):
+    """Frozen edge bank x trainable per-channel scale + bias.
+    Ref: EnhanceConv2d, common.py:806-911."""
+    features: int
+    kernel: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        factor = self.param("sobel_factor", nn.initializers.ones,
+                            (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        bank = jnp.asarray(edge_filter_bank(self.features, c_in, self.kernel),
+                           self.dtype)
+        kernel = bank * factor.astype(self.dtype)
+        p = self.kernel // 2
+        y = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(1, 1),
+            padding=[(p, p), (p, p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=self.dtype)
+        return y + bias.astype(self.dtype)
+
+
+class ContourEnhance(nn.Module):
+    """CEM: expand x8 -> edge bank -> add -> reduce -> residual.
+    Ref: AdaptiveModule3, common.py:751-803 (conv/bn/leaky-relu 0.1)."""
+    channels: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.channels
+        y = nn.Conv(c * 8, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                    kernel_init=conv_kernel_init, dtype=self.dtype,
+                    name="conv2")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=self.dtype, name="bn2")(y)
+        y = jax.nn.leaky_relu(y, 0.1)
+        e = EnhanceConv(c * 8, dtype=self.dtype, name="sobel")(y)
+        y = y + e
+        y = nn.Conv(c, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                    kernel_init=conv_kernel_init, dtype=self.dtype,
+                    name="conv3")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=self.dtype, name="bn3")(y)
+        y = jax.nn.leaky_relu(y, 0.1)
+        return y + x

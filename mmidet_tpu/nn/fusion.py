@@ -1,0 +1,302 @@
+"""Cross-modal fusion blocks: the Fusion Focus Module (FFT frequency-split +
+pattern attention + cross-modal transformer) and its simpler siblings.
+
+Functional parity surface (reference ``models/common.py``):
+  * ``CrossModalTransformer``  <- ``GPT``          (common.py:1270-1368)
+  * ``PatternFusion``          <- ``GPT1``         (common.py:142-296)
+  * ``FourierPatternFusion``   <- ``GPT1_fourier`` (common.py:299-552)
+  * ``SelfAttention`` / ``PreLNBlock`` <- ``SelfAttention`` /
+    ``myTransformerBlock`` (common.py:1147-1267)
+  * frequency split <- ``extract_frequency2`` (common.py:37-69)
+
+Parity notes, verified against torch behavior:
+  * torch ``.half()`` on a complex tensor silently drops the imaginary part,
+    so ``extract_frequency2`` effectively returns the *real part* of the
+    inverse FFT — we take ``.real`` explicitly.
+  * at the 8x8 pooled resolution the reference's threshold arithmetic
+    (``threshold = crow + ccol//4 = 5``) makes the "highpass" zero exactly one
+    shifted-spectrum element (row slice(-1,9) == 7:8) — we reproduce the exact
+    Python-slice semantics for any (H, W).
+  * the separation loss ``sum_{i<j} <M_i, M_j> / (l(l-1))``
+    (common.py:128-139) is an O(l^2) python loop in the reference; here it is
+    the closed form ``(|sum_i M_i|^2 - sum_i |M_i|^2) / 2 / (l(l-1))`` — one
+    vectorized reduction.
+  * avgpool-to-8x8 and bilinear-upsample use the exact-torch matmul
+    formulation from ``mmidet_tpu.nn.resize`` (MXU-friendly).
+
+TPU-first design: attention over the fixed 128-token sequence is three plain
+einsum matmuls — at this size a flash-attention kernel would lose to XLA's
+fusion, so none is used.  All shapes are static.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmidet_tpu.nn.layers import conv_kernel_init
+from mmidet_tpu.nn.resize import adaptive_avg_pool, bilinear_resize
+
+linear_init = nn.initializers.normal(stddev=0.02)  # GPT._init_weights
+
+
+@functools.lru_cache(maxsize=None)
+def _freq_masks(h: int, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """(high_keep, low_keep) boolean masks over the *shifted* spectrum,
+    reproducing extract_frequency2's slice arithmetic exactly."""
+    crow, ccol = h // 2, w // 2
+    threshold = crow + ccol // 4
+    high = np.ones((h, w), bool)
+    rs = slice(crow - threshold, crow + threshold).indices(h)
+    cs = slice(ccol - threshold, ccol + threshold).indices(w)
+    high[rs[0]:rs[1], cs[0]:cs[1]] = False  # zeroed region
+    low = np.ones((h, w), bool)
+    low[:max(crow - threshold, 0), :] = False
+    low[crow + threshold:, :] = False
+    low[:, :max(ccol - threshold, 0)] = False
+    low[:, ccol + threshold:] = False
+    return high, low
+
+
+def frequency_split(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """NHWC -> (low, high) real-valued frequency components.
+
+    Equivalent to reference ``extract_frequency2`` (common.py:37-69) up to the
+    implicit real-cast: fft2 -> shift -> mask -> unshift -> ifft2 -> real.
+    """
+    h, w = x.shape[1], x.shape[2]
+    high_keep, low_keep = _freq_masks(h, w)
+    f = jnp.fft.fft2(x.astype(jnp.float32), axes=(1, 2))
+    fs = jnp.fft.fftshift(f, axes=(1, 2))
+    fh = fs * jnp.asarray(high_keep)[None, :, :, None]
+    fl = fs * jnp.asarray(low_keep)[None, :, :, None]
+    ih = jnp.fft.ifft2(jnp.fft.ifftshift(fh, axes=(1, 2)), axes=(1, 2))
+    il = jnp.fft.ifft2(jnp.fft.ifftshift(fl, axes=(1, 2)), axes=(1, 2))
+    return il.real.astype(x.dtype), ih.real.astype(x.dtype)
+
+
+def separation_loss(m: jnp.ndarray) -> jnp.ndarray:
+    """sum_{i<j} <m_i, m_j> / (l*(l-1)); m is (l, d). Ref: common.py:128."""
+    l = m.shape[0]
+    s = jnp.sum(m, axis=0)
+    total = (jnp.dot(s, s) - jnp.sum(m * m)) / 2.0
+    return total / (l * (l - 1))
+
+
+class SelfAttention(nn.Module):
+    """Multi-head self-attention with explicit q/k/v/out projections.
+    Ref: common.py:1147-1234."""
+    d_model: int
+    num_heads: int = 8
+    attn_drop: float = 0.1
+    resid_drop: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, n, c = x.shape
+        h = self.num_heads
+        dk = self.d_model // h
+        dense = functools.partial(nn.Dense, kernel_init=linear_init,
+                                  dtype=self.dtype)
+        q = dense(self.d_model, name="que_proj")(x).reshape(b, n, h, dk)
+        k = dense(self.d_model, name="key_proj")(x).reshape(b, n, h, dk)
+        v = dense(self.d_model, name="val_proj")(x).reshape(b, n, h, dk)
+        att = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(dk)
+        att = jax.nn.softmax(att, axis=-1)
+        att = nn.Dropout(self.attn_drop)(att, deterministic=not train)
+        out = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(b, n, c)
+        out = dense(self.d_model, name="out_proj")(out)
+        return nn.Dropout(self.resid_drop)(out, deterministic=not train)
+
+
+class PreLNBlock(nn.Module):
+    """Pre-LN transformer block with exact-GELU MLP. Ref: common.py:1237-1267."""
+    d_model: int
+    num_heads: int = 8
+    block_exp: int = 4
+    attn_drop: float = 0.1
+    resid_drop: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.LayerNorm(dtype=self.dtype, name="ln_input")(x)
+        x = x + SelfAttention(self.d_model, self.num_heads, self.attn_drop,
+                              self.resid_drop, dtype=self.dtype,
+                              name="sa")(y, train)
+        y = nn.LayerNorm(dtype=self.dtype, name="ln_output")(x)
+        y = nn.Dense(self.block_exp * self.d_model, kernel_init=linear_init,
+                     dtype=self.dtype, name="mlp_fc1")(y)
+        y = jax.nn.gelu(y, approximate=False)
+        y = nn.Dense(self.d_model, kernel_init=linear_init,
+                     dtype=self.dtype, name="mlp_fc2")(y)
+        y = nn.Dropout(self.resid_drop)(y, deterministic=not train)
+        return x + y
+
+
+class _TokenTransformer(nn.Module):
+    """Shared core: pooled (B,gh,gw,C) pair -> tokens -> n_layer blocks ->
+    split back to two (B,gh,gw,C) maps."""
+    d_model: int
+    num_heads: int = 8
+    block_exp: int = 4
+    n_layer: int = 8
+    grid: tuple[int, int] = (8, 8)
+    embd_drop: float = 0.1
+    attn_drop: float = 0.1
+    resid_drop: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, rgb_p, ir_p, train: bool = False):
+        b = rgb_p.shape[0]
+        gh, gw = self.grid
+        ntok = 2 * gh * gw
+        # tokens: RGB spatial positions first, then IR (matches the reference's
+        # concat-then-permute at common.py:1338-1343)
+        tok = jnp.concatenate([rgb_p.reshape(b, gh * gw, self.d_model),
+                               ir_p.reshape(b, gh * gw, self.d_model)], axis=1)
+        pos = self.param("pos_emb", nn.initializers.zeros,
+                         (1, ntok, self.d_model), jnp.float32)
+        x = tok + pos.astype(tok.dtype)
+        x = nn.Dropout(self.embd_drop)(x, deterministic=not train)
+        for i in range(self.n_layer):
+            x = PreLNBlock(self.d_model, self.num_heads, self.block_exp,
+                           self.attn_drop, self.resid_drop, dtype=self.dtype,
+                           name=f"block{i}")(x, train)
+        x = nn.LayerNorm(dtype=self.dtype, name="ln_f")(x)
+        rgb_o = x[:, :gh * gw].reshape(b, gh, gw, self.d_model)
+        ir_o = x[:, gh * gw:].reshape(b, gh, gw, self.d_model)
+        return rgb_o, ir_o
+
+
+class CrossModalTransformer(nn.Module):
+    """Plain cross-modal transformer fusion (used at P3/P4/P5).
+    Ref: GPT, common.py:1270-1368.  Returns (rgb_out, ir_out)."""
+    d_model: int
+    num_heads: int = 8
+    block_exp: int = 4
+    n_layer: int = 8
+    grid: tuple[int, int] = (8, 8)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, rgb, ir, train: bool = False):
+        h, w = rgb.shape[1], rgb.shape[2]
+        rgb_p = adaptive_avg_pool(rgb, self.grid)
+        ir_p = adaptive_avg_pool(ir, self.grid)
+        rgb_o, ir_o = _TokenTransformer(
+            self.d_model, self.num_heads, self.block_exp, self.n_layer,
+            self.grid, dtype=self.dtype, name="trans")(rgb_p, ir_p, train)
+        return (bilinear_resize(rgb_o, (h, w)), bilinear_resize(ir_o, (h, w)))
+
+
+class _PatternGate(nn.Module):
+    """conv1(->8ch)+sigmoid mask, conv2 back to C, multiplicative gate.
+    Shared by PatternFusion / FourierPatternFusion."""
+    d_model: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.conv1 = nn.Conv(8, (1, 1), use_bias=False,
+                             kernel_init=conv_kernel_init, dtype=self.dtype,
+                             name="conv1")
+        self.conv2 = nn.Conv(self.d_model, (1, 1), use_bias=False,
+                             kernel_init=conv_kernel_init, dtype=self.dtype,
+                             name="conv2")
+
+    def mask(self, x):
+        return jax.nn.sigmoid(self.conv1(x))
+
+    def gate(self, mask, feat):
+        return self.conv2(mask) * feat
+
+
+def _mask_rows(m: jnp.ndarray) -> jnp.ndarray:
+    """(B,gh,gw,8) NHWC mask -> (B*8, gh*gw) rows in the reference's
+    ``view(-1, h*w)`` NCHW row order (batch-major, then mask channel)."""
+    b, gh, gw, c = m.shape
+    return m.transpose(0, 3, 1, 2).reshape(b * c, gh * gw)
+
+
+class PatternFusion(nn.Module):
+    """Pattern-attention fusion (no fourier branch). Ref: GPT1,
+    common.py:142-296.  Returns (rgb_out, ir_out, pattern_loss)."""
+    d_model: int
+    num_heads: int = 8
+    block_exp: int = 4
+    n_layer: int = 8
+    grid: tuple[int, int] = (8, 8)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, rgb, ir, train: bool = False):
+        h, w = rgb.shape[1], rgb.shape[2]
+        rgb_p = adaptive_avg_pool(rgb, self.grid)
+        ir_p = adaptive_avg_pool(ir, self.grid)
+        pg = _PatternGate(self.d_model, dtype=self.dtype, name="pattern")
+        rgb_m = pg.mask(rgb_p)
+        ir_m = pg.mask(ir_p)
+        pattern_loss = separation_loss(
+            jnp.concatenate([_mask_rows(rgb_m), _mask_rows(ir_m)], axis=0))
+        rgb_g = pg.gate(rgb_m, rgb_p)
+        ir_g = pg.gate(ir_m, ir_p)
+        rgb_o, ir_o = _TokenTransformer(
+            self.d_model, self.num_heads, self.block_exp, self.n_layer,
+            self.grid, dtype=self.dtype, name="trans")(rgb_g, ir_g, train)
+        return (bilinear_resize(rgb_o, (h, w)), bilinear_resize(ir_o, (h, w)),
+                pattern_loss)
+
+
+class FourierPatternFusion(nn.Module):
+    """The Fusion Focus Module: FFT high-frequency attention + pattern gate +
+    cross-modal transformer.  Ref: GPT1_fourier, common.py:299-552.
+    Returns (rgb_out, ir_out, pattern_loss).
+
+    The high-frequency branch contributes only to the separation loss (its
+    masks' first ``B`` rows are appended, common.py:487-489); the gating path
+    uses the plain pooled-feature masks, exactly as the reference.
+    """
+    d_model: int
+    num_heads: int = 8
+    block_exp: int = 4
+    n_layer: int = 8
+    grid: tuple[int, int] = (8, 8)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, rgb, ir, train: bool = False):
+        h, w = rgb.shape[1], rgb.shape[2]
+        b = rgb.shape[0]
+        rgb_p = adaptive_avg_pool(rgb, self.grid)
+        ir_p = adaptive_avg_pool(ir, self.grid)
+
+        _, rgb_high = frequency_split(rgb_p)
+        _, ir_high = frequency_split(ir_p)
+
+        pg = _PatternGate(self.d_model, dtype=self.dtype, name="pattern")
+        rgb_hm = pg.mask(rgb_high * rgb_p)
+        ir_hm = pg.mask(ir_high * ir_p)
+        rgb_m = pg.mask(rgb_p)
+        ir_m = pg.mask(ir_p)
+
+        # separation loss over [rgb_mask, ir_mask, rgb_high[:B], ir_high[:B]]
+        # (len_fea_half = B*8 // 8 = B rows, common.py:487)
+        rows = jnp.concatenate([
+            _mask_rows(rgb_m), _mask_rows(ir_m),
+            _mask_rows(rgb_hm)[:b], _mask_rows(ir_hm)[:b]], axis=0)
+        pattern_loss = separation_loss(rows)
+
+        rgb_g = pg.gate(rgb_m, rgb_p)
+        ir_g = pg.gate(ir_m, ir_p)
+        rgb_o, ir_o = _TokenTransformer(
+            self.d_model, self.num_heads, self.block_exp, self.n_layer,
+            self.grid, dtype=self.dtype, name="trans")(rgb_g, ir_g, train)
+        return (bilinear_resize(rgb_o, (h, w)), bilinear_resize(ir_o, (h, w)),
+                pattern_loss)
