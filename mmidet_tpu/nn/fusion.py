@@ -51,14 +51,15 @@ def _freq_masks(h: int, w: int) -> tuple[np.ndarray, np.ndarray]:
     reproducing extract_frequency2's slice arithmetic exactly."""
     crow, ccol = h // 2, w // 2
     threshold = crow + ccol // 4
+    # numpy slicing shares python/torch semantics (incl. negative bounds), so
+    # these statements mirror the reference assignments verbatim.
     high = np.ones((h, w), bool)
-    rs = slice(crow - threshold, crow + threshold).indices(h)
-    cs = slice(ccol - threshold, ccol + threshold).indices(w)
-    high[rs[0]:rs[1], cs[0]:cs[1]] = False  # zeroed region
+    high[crow - threshold:crow + threshold,
+         ccol - threshold:ccol + threshold] = False
     low = np.ones((h, w), bool)
-    low[:max(crow - threshold, 0), :] = False
+    low[:crow - threshold, :] = False
     low[crow + threshold:, :] = False
-    low[:, :max(ccol - threshold, 0)] = False
+    low[:, :ccol - threshold] = False
     low[:, ccol + threshold:] = False
     return high, low
 

@@ -1,0 +1,125 @@
+"""Model-assembly tests: spec resolution channel math, all zoo families
+building and running forward, Detect decode semantics."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from mmidet_tpu.models.detector import TwoStreamDetector
+from mmidet_tpu.models.spec import make_divisible, resolve
+from mmidet_tpu.models.zoo import (single_stream_spec, two_stream_spec,
+                                   get_model_spec)
+
+
+def test_make_divisible():
+    assert make_divisible(64 * 0.5) == 32
+    assert make_divisible(1024 * 1.25) == 1280
+    assert make_divisible(64 * 0.33) == 24
+
+
+def test_resolve_flagship_channels():
+    spec = two_stream_spec("l", "fourier", nc=6)
+    resolved, save = resolve(spec)
+    ch = {rl.index: rl.c_out for rl in resolved}
+    # P2 streams at 128, fusion pyramid 256/512/1024
+    assert ch[2] == ch[5] == 128
+    assert ch[10] == ch[12] == 256 and ch[17] == 512 and ch[25] == 1024
+    assert ch[32] == 256 and ch[33] == 512 and ch[34] == 1024
+    # head P3/P4/P5 into Detect
+    det = resolved[-1]
+    assert det.name == "Detect" and det.args[2] == (256, 512, 1024)
+
+
+def test_resolve_depth_gain():
+    spec = two_stream_spec("s", "gpt4", nc=6)
+    resolved, _ = resolve(spec)
+    c3_reps = [rl.args[1] for rl in resolved if rl.name == "C3"]
+    # yolov5s depth 0.33: 3 -> 1, 9 -> 3
+    assert set(c3_reps[:2]) == {1}
+    assert 3 in c3_reps
+
+
+@pytest.mark.parametrize("fusion", ["gpt4", "gpt3", "add"])
+def test_two_stream_families_forward(fusion):
+    spec = two_stream_spec("s", fusion, nc=2)
+    model = TwoStreamDetector(spec=spec, aux_mode="reference")
+    rgb = jnp.zeros((1, 64, 64, 3))
+    ir = jnp.zeros((1, 64, 64, 3))
+    v = model.init(jax.random.PRNGKey(0), rgb, ir)
+    out = model.apply(v, rgb, ir)
+    assert [o.shape for o in out["train_outs"]] == [
+        (1, 3, 8, 8, 7), (1, 3, 4, 4, 7), (1, 3, 2, 2, 7)]
+    assert out["pred"].shape == (1, 3 * (64 + 16 + 4), 7)
+
+
+def test_single_stream_forward():
+    spec = single_stream_spec("s", nc=80)
+    model = TwoStreamDetector(spec=spec, use_cem=False, aux_mode="off")
+    x = jnp.zeros((1, 64, 64, 3))
+    v = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(v, x)
+    assert out["pred"].shape == (1, 252, 85)
+
+
+def test_get_model_spec_names():
+    assert get_model_spec("yolov5s").nc == 80
+    assert get_model_spec("yolov5l_fuse3_fourier", nc=6).nc == 6
+    assert get_model_spec("yolov5s_transformer").width_multiple == 0.5
+
+
+def test_detect_decode_centers():
+    """A zero-logit prediction decodes to box centers at
+    (grid + 0.5)*stride and wh = anchor (sigmoid(0)=0.5)."""
+    from mmidet_tpu.models.detect_head import Detect
+    det = Detect(nc=1, anchors=((10, 13, 16, 30, 33, 23),), strides=(8,))
+    xs = [jnp.zeros((1, 4, 4, 8))]
+    v = det.init(jax.random.PRNGKey(0), xs)
+    # zero the conv params so logits are exactly 0
+    p = jax.tree_util.tree_map(jnp.zeros_like, v["params"])
+    outs, pred = det.apply({"params": p}, xs, decode=True)
+    pred = np.asarray(pred)  # (1, 3*16, 6)
+    # first anchor, first cell: xy = (2*0.5-0.5+0)*8 = 4
+    np.testing.assert_allclose(pred[0, 0, :2], [4.0, 4.0])
+    np.testing.assert_allclose(pred[0, 0, 2:4], [10.0, 13.0])
+    # second cell in x direction
+    np.testing.assert_allclose(pred[0, 1, :2], [12.0, 4.0])
+
+
+def test_yaml_compat_loader():
+    from mmidet_tpu.models.spec import load_yolo_yaml
+    d = {
+        "nc": 2,
+        "depth_multiple": 1.0,
+        "width_multiple": 1.0,
+        "anchors": [[10, 13, 16, 30, 33, 23],
+                    [30, 61, 62, 45, 59, 119],
+                    [116, 90, 156, 198, 373, 326]],
+        "backbone": [
+            [-1, 1, "Focus", [64, 3]],
+            [-1, 1, "Conv", [128, 3, 2]],
+            [-1, 3, "C3", [128]],
+            [-4, 1, "Focus", [64, 3]],
+            [-1, 1, "Conv", [128, 3, 2]],
+            [-1, 3, "C3", [128]],
+            [[2, 5], 1, "Add", [1]],
+            [-1, 1, "Conv", [256, 3, 2]],
+            [-1, 1, "Conv", [512, 3, 2]],
+        ],
+        "head": [
+            [-1, 1, "Conv", [512, 1, 1]],
+            [[7, 8, 9], 1, "Detect", ["nc", "anchors"]],
+        ],
+    }
+    # Detect args in YAML are placeholders; resolution injects nc/anchors
+    d["head"][-1][-1] = []
+    spec = load_yolo_yaml(d)
+    resolved, _ = resolve(spec)
+    assert resolved[-1].args[0] == 2
+    model = TwoStreamDetector(spec=spec, use_cem=False, aux_mode="off")
+    rgb = jnp.zeros((1, 32, 32, 3))
+    ir = jnp.zeros((1, 32, 32, 3))
+    v = model.init(jax.random.PRNGKey(0), rgb, ir)
+    out = model.apply(v, rgb, ir)
+    assert out["pred"].shape[0] == 1
