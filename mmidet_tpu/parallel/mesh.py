@@ -1,0 +1,70 @@
+"""Device mesh + sharding rules: the TPU-native replacement for the
+reference's NCCL DDP (train.py:1019-1028, DistributedSampler, SyncBN, the
+``loss * world_size`` compensation — none of which exist here).
+
+Design (SURVEY §2c): a ``Mesh`` with axes ``('data', 'model')``.
+  * batch tensors shard over 'data' — gradient psum is implicit in pjit;
+  * BatchNorm statistics are computed over the *global* batch under GSPMD, so
+    cross-replica SyncBN is the default;
+  * wide conv/dense kernels optionally shard their output-channel dim over
+    'model' (tensor parallelism for the 512/1024-channel P5 stages and the
+    fusion transformers) — XLA inserts the all-gathers/reduce-scatters over
+    ICI.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    devs = np.asarray(devices[:n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devs, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dim over 'data', rest replicated."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _leaf_spec(path: tuple[str, ...], leaf, n_model: int) -> P:
+    name = path[-1]
+    shape = leaf.shape
+    if n_model > 1 and name == "kernel" and len(shape) >= 2:
+        out = shape[-1]
+        if out >= 256 and out % n_model == 0:
+            return P(*([None] * (len(shape) - 1) + ["model"]))
+    return P()
+
+
+def param_shardings(params, mesh: Mesh):
+    """NamedSharding pytree for the params: output-channel TP on wide
+    kernels, everything else replicated."""
+    import flax
+    n_model = mesh.shape["model"]
+    flat = flax.traverse_util.flatten_dict(params)
+    specs = {k: NamedSharding(mesh, _leaf_spec(k, v, n_model))
+             for k, v in flat.items()}
+    return flax.traverse_util.unflatten_dict(specs)
+
+
+def shard_pytree_like(tree, template_shardings, mesh: Mesh):
+    """Shardings for an arbitrary state pytree (opt state, EMA): leaves whose
+    shape matches a sharded param get that sharding; others replicate.
+
+    Simplification: we just replicate scalars and shard nothing else — optax
+    SGD momentum buffers mirror param shapes, so jax.lax infers placements
+    from the params via jit; this helper is used for explicit annotation when
+    needed."""
+    rep = replicated(mesh)
+    return jax.tree_util.tree_map(lambda _: rep, tree)
