@@ -1,0 +1,82 @@
+"""Throughput benchmark: paired 640px VIS-IR inference on the real chip.
+
+North-star metric (BASELINE.md): >= 2000 paired 640px img/s/chip at
+yolov5s-twostream.  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N}
+
+The measured program is the full detector forward (bf16, NHWC) including the
+on-device Detect decode; NMS timing is reported separately on stderr (the
+reference also reports inference/NMS split, test.py:261-263).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_IMG_S = 2000.0
+
+
+def main():
+    from mmidet_tpu.models.detector import TwoStreamDetector
+    from mmidet_tpu.models.zoo import two_stream_spec
+    from mmidet_tpu.ops.nms import non_max_suppression
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    img = 640
+    spec = two_stream_spec("s", "gpt4", nc=6)
+    model = TwoStreamDetector(spec=spec, aux_mode="off", dtype=jnp.bfloat16)
+
+    rng = jax.random.PRNGKey(0)
+    rgb = jax.random.uniform(rng, (batch, img, img, 3), jnp.float32)
+    ir = jax.random.uniform(rng, (batch, img, img, 3), jnp.float32)
+    # init at 64px (params are resolution-independent) to keep the init
+    # trace/compile cheap; apply at full 640px
+    small = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, small, small,
+                           train=False)
+
+    @jax.jit
+    def fwd(rgb, ir):
+        return model.apply(variables, rgb, ir, train=False)["pred"]
+
+    # compile + warmup
+    pred = fwd(rgb, ir)
+    jax.block_until_ready(pred)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        pred = fwd(rgb, ir)
+    jax.block_until_ready(pred)
+    dt = time.perf_counter() - t0
+    img_s = batch * iters / dt
+
+    # NMS timing (reported separately, as the reference does)
+    nms = jax.jit(lambda p: non_max_suppression(p.astype(jnp.float32),
+                                                0.25, 0.45))
+    d, v = nms(pred)
+    jax.block_until_ready(d)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        d, v = nms(pred)
+    jax.block_until_ready(d)
+    nms_ms = (time.perf_counter() - t0) / 5 / batch * 1e3
+
+    print(f"inference: {1e3 / img_s:.2f} ms/img, nms: {nms_ms:.2f} ms/img, "
+          f"batch={batch}, device={jax.devices()[0].device_kind}",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "yolov5s_twostream_640_paired_inference",
+        "value": round(img_s, 1),
+        "unit": "img/s",
+        "vs_baseline": round(img_s / BASELINE_IMG_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

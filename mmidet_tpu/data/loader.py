@@ -1,0 +1,102 @@
+"""Batched host->device loaders with fixed shapes and background prefetch.
+
+Replaces the reference's torch ``InfiniteDataLoader`` / ``DistributedSampler``
+machinery (``utils/datasets.py:41-76,225-295``).  Batches are dicts of numpy
+arrays with *static* shapes — images letterboxed to the train size, labels
+padded to ``max_labels`` with a validity mask — so a single XLA program
+serves every step.  A double-buffered background thread overlaps host decode
+with device compute (the reference's worker-process pool, minus the
+processes)."""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+from mmidet_tpu.data.datasets import PairedDataset, letterbox_np
+
+
+def collate_paired(samples: list[dict], img_size: int = 640,
+                   max_labels: int = 120) -> dict:
+    """Letterbox both modalities identically; scale labels to the padded
+    frame; pad to (B, max_labels, 5) + mask."""
+    bsz = len(samples)
+    rgb = np.empty((bsz, img_size, img_size, 3), np.uint8)
+    ir = np.empty((bsz, img_size, img_size, 3), np.uint8)
+    targets = np.zeros((bsz, max_labels, 5), np.float32)
+    mask = np.zeros((bsz, max_labels), bool)
+    shapes = []
+    for i, s in enumerate(samples):
+        out_r, r, (dw, dh) = letterbox_np(s["rgb"], (img_size, img_size))
+        out_i, _, _ = letterbox_np(s["ir"], (img_size, img_size))
+        rgb[i], ir[i] = out_r, out_i
+        lab = s["labels"]
+        h0, w0 = s["shape"]
+        n = min(len(lab), max_labels)
+        if n:
+            l = lab[:n].copy()
+            # normalized in original frame -> normalized in padded frame
+            l[:, 1] = (l[:, 1] * w0 * r + dw) / img_size
+            l[:, 2] = (l[:, 2] * h0 * r + dh) / img_size
+            l[:, 3] = l[:, 3] * w0 * r / img_size
+            l[:, 4] = l[:, 4] * h0 * r / img_size
+            targets[i, :n] = l
+            mask[i, :n] = True
+        shapes.append((s["shape"], (r, (dw, dh))))
+    return {"rgb": rgb, "ir": ir, "targets": targets, "mask": mask,
+            "shapes": shapes}
+
+
+class PairedLoader:
+    """Iterates collated batches; optional shuffle; drops the last partial
+    batch in training (fixed shapes)."""
+
+    def __init__(self, dataset: PairedDataset, batch_size: int,
+                 img_size: int = 640, max_labels: int = 120,
+                 shuffle: bool = False, drop_last: bool = True,
+                 seed: int = 0, prefetch: int = 2):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.img_size = img_size
+        self.max_labels = max_labels
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.ds)
+        return n // self.batch_size if self.drop_last else \
+            (n + self.batch_size - 1) // self.batch_size
+
+    def _indices(self):
+        idx = np.arange(len(self.ds))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        return idx
+
+    def __iter__(self):
+        idx = self._indices()
+        self.epoch += 1
+        nb = len(self)
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+
+        def worker():
+            for b in range(nb):
+                sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
+                samples = [self.ds[int(i)] for i in sel]
+                q.put(collate_paired(samples, self.img_size,
+                                     self.max_labels))
+            q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item

@@ -1,0 +1,126 @@
+"""mAP evaluation driver: batched jitted inference + on-device NMS, host-side
+IoU matching and AP aggregation.
+
+Functional parity surface: reference ``test.test`` (``test.py:21-308``) —
+conf 0.001 / iou 0.6 multi-label NMS, 10 IoU thresholds 0.5:0.95, P/R at
+max F1, mAP@.5 / mAP@.75 / mAP@.5:.95, per-class table, speed report.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmidet_tpu.eval.metrics import ap_per_class, match_predictions
+from mmidet_tpu.ops.nms import non_max_suppression
+
+
+@dataclasses.dataclass
+class EvalResults:
+    mp: float
+    mr: float
+    map50: float
+    map75: float
+    map: float
+    per_class: dict
+    speed_ms: tuple[float, float]   # inference, nms per image
+    nc: int
+
+    def fitness_vector(self) -> np.ndarray:
+        return np.asarray([[self.mp, self.mr, self.map50, self.map]])
+
+
+def _scale_boxes(boxes: np.ndarray, ratio_pad, orig_shape) -> np.ndarray:
+    """Letterboxed xyxy -> original-image coordinates (ref scale_coords)."""
+    r, (dw, dh) = ratio_pad
+    out = boxes.copy()
+    out[:, [0, 2]] = (out[:, [0, 2]] - dw) / r
+    out[:, [1, 3]] = (out[:, [1, 3]] - dh) / r
+    h, w = orig_shape
+    out[:, [0, 2]] = out[:, [0, 2]].clip(0, w)
+    out[:, [1, 3]] = out[:, [1, 3]].clip(0, h)
+    return out
+
+
+def evaluate(model, variables, loader, nc: int,
+             conf_thres: float = 0.001, iou_thres: float = 0.6,
+             max_det: int = 300, names=None, two_stream: bool = True,
+             verbose: bool = False) -> EvalResults:
+    iouv = np.linspace(0.5, 0.95, 10)
+
+    @jax.jit
+    def infer(rgb, ir):
+        out = model.apply(variables, rgb, ir, train=False) if two_stream \
+            else model.apply(variables, rgb, train=False)
+        dets, valid = non_max_suppression(
+            out["pred"].astype(jnp.float32), conf_thres=conf_thres,
+            iou_thres=iou_thres, max_det=max_det, multi_label=True)
+        return dets, valid
+
+    stats = []
+    t_inf = t_nms = 0.0
+    n_img = 0
+    for batch in loader:
+        rgb = jnp.asarray(batch["rgb"], jnp.float32) / 255.0
+        ir = jnp.asarray(batch["ir"], jnp.float32) / 255.0
+        t0 = time.perf_counter()
+        dets, valid = infer(rgb, ir)
+        dets = np.asarray(jax.block_until_ready(dets))
+        valid = np.asarray(valid)
+        t_inf += time.perf_counter() - t0
+        n_img += rgb.shape[0]
+
+        img_size = rgb.shape[1]
+        for si in range(rgb.shape[0]):
+            d = dets[si][valid[si]]
+            lab = batch["targets"][si][batch["mask"][si]]
+            orig_shape, ratio_pad = batch["shapes"][si]
+            # labels: normalized xywh in padded frame -> xyxy original px
+            if len(lab):
+                l_xyxy = np.empty((len(lab), 5), np.float32)
+                l_xyxy[:, 0] = lab[:, 0]
+                cx, cy = lab[:, 1] * img_size, lab[:, 2] * img_size
+                w, h = lab[:, 3] * img_size, lab[:, 4] * img_size
+                l_xyxy[:, 1], l_xyxy[:, 2] = cx - w / 2, cy - h / 2
+                l_xyxy[:, 3], l_xyxy[:, 4] = cx + w / 2, cy + h / 2
+                l_xyxy[:, 1:] = _scale_boxes(l_xyxy[:, 1:], ratio_pad,
+                                             orig_shape)
+            else:
+                l_xyxy = np.zeros((0, 5), np.float32)
+            if len(d):
+                d = d.copy()
+                d[:, :4] = _scale_boxes(d[:, :4], ratio_pad, orig_shape)
+            correct = match_predictions(d, l_xyxy, iouv)
+            stats.append((correct, d[:, 4] if len(d) else np.zeros(0),
+                          d[:, 5] if len(d) else np.zeros(0),
+                          l_xyxy[:, 0]))
+
+    stats = [np.concatenate(x, 0) for x in zip(*stats)]
+    per_class = {}
+    if len(stats) and stats[0].any():
+        p, r, ap, f1, cls_ids = ap_per_class(*stats)
+        ap50, ap75, ap_mean = ap[:, 0], ap[:, 5], ap.mean(1)
+        mp, mr = p.mean(), r.mean()
+        map50, map75, map_ = ap50.mean(), ap75.mean(), ap_mean.mean()
+        for i, c in enumerate(cls_ids):
+            name = names[c] if names else str(c)
+            per_class[name] = {"p": float(p[i]), "r": float(r[i]),
+                               "ap50": float(ap50[i]),
+                               "ap": float(ap_mean[i])}
+    else:
+        mp = mr = map50 = map75 = map_ = 0.0
+
+    speed = (t_inf / max(n_img, 1) * 1e3, 0.0)
+    if verbose:
+        print(f"{'all':>10s} {n_img:10d} "
+              f"P {mp:.3f} R {mr:.3f} mAP@.5 {map50:.3f} "
+              f"mAP@.5:.95 {map_:.3f} ({speed[0]:.1f} ms/img)")
+        for name, v in per_class.items():
+            print(f"{name:>10s} P {v['p']:.3f} R {v['r']:.3f} "
+                  f"AP50 {v['ap50']:.3f} AP {v['ap']:.3f}")
+    return EvalResults(float(mp), float(mr), float(map50), float(map75),
+                       float(map_), per_class, speed, nc)
