@@ -43,6 +43,8 @@ from mmidet_tpu.nn.layers import conv_kernel_init
 from mmidet_tpu.nn.resize import adaptive_avg_pool, bilinear_resize
 
 linear_init = nn.initializers.normal(stddev=0.02)  # GPT._init_weights
+LN_EPS = 1e-5  # torch LayerNorm default (flax default 1e-6 diverges when the
+# fusion activations are tiny and eps dominates the denominator)
 
 
 @functools.lru_cache(maxsize=None)
@@ -127,11 +129,11 @@ class PreLNBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = nn.LayerNorm(dtype=self.dtype, name="ln_input")(x)
+        y = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln_input")(x)
         x = x + SelfAttention(self.d_model, self.num_heads, self.attn_drop,
                               self.resid_drop, dtype=self.dtype,
                               name="sa")(y, train)
-        y = nn.LayerNorm(dtype=self.dtype, name="ln_output")(x)
+        y = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln_output")(x)
         y = nn.Dense(self.block_exp * self.d_model, kernel_init=linear_init,
                      dtype=self.dtype, name="mlp_fc1")(y)
         y = jax.nn.gelu(y, approximate=False)
@@ -171,7 +173,7 @@ class _TokenTransformer(nn.Module):
             x = PreLNBlock(self.d_model, self.num_heads, self.block_exp,
                            self.attn_drop, self.resid_drop, dtype=self.dtype,
                            name=f"block{i}")(x, train)
-        x = nn.LayerNorm(dtype=self.dtype, name="ln_f")(x)
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln_f")(x)
         rgb_o = x[:, :gh * gw].reshape(b, gh, gw, self.d_model)
         ir_o = x[:, gh * gw:].reshape(b, gh, gw, self.d_model)
         return rgb_o, ir_o

@@ -18,7 +18,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# persistent compilation cache: repeat test runs skip XLA recompiles
-_cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE: do NOT enable the persistent compilation cache here.  This image
+# routes compiles through a remote compile service (PALLAS_AXON_REMOTE_COMPILE)
+# whose host has different CPU features; cached CPU AOT executables then run
+# miscompiled locally and silently corrupt numerics (observed: LayerNorm
+# returning garbage after a cache hit).
