@@ -126,6 +126,10 @@ def _torch_key(path: tuple[str, ...], collection: str) -> tuple[str, str]:
                 out.append("running_var")
             elif s == "pos_emb":
                 out.append("pos_emb")
+            elif s == "conv_kernel_s2d":
+                # Focus stores the reference (k,k,4C,out) kernel directly
+                kind = "conv"
+                out.append("conv.conv.weight")
             elif s == "sobel_factor":
                 kind = "factor"
                 out.append("sobel_factor")
@@ -146,6 +150,8 @@ def _torch_key(path: tuple[str, ...], collection: str) -> tuple[str, str]:
                 out.append("mlp.2")
             elif s == "sobel":
                 out.append("sobel")
+            elif s == "conv_bn":     # Focus's BN (reference conv.bn)
+                out.append("conv.bn")
             else:
                 out.append(s)
         i += 1
