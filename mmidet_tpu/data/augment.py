@@ -1,0 +1,329 @@
+"""On-device paired augmentation graph: mosaic, shared random perspective,
+per-modality HSV, shared flips — all jit-compiled, fixed-shape, keyed by
+per-sample PRNG.
+
+Functional parity surface: reference ``utils/datasets.py`` —
+``load_mosaic_RGB_IR`` (1764-1913), ``random_perspective_rgb_ir``
+(2154-2263), ``augment_hsv`` (applied with *independent* random gains per
+modality — a reference quirk we keep, datasets.py:1512-1515), flips
+(shared across modalities).
+
+This is the north-star requirement (BASELINE.md): augmentation runs as jitted
+XLA ops on device, not in cv2 worker processes.  Deviations (documented):
+  * mosaic tiles are square letterboxed images (fixed shapes) rather than
+    aspect-shaped resizes — equivalent after the affine crop except for gray
+    bands when tile aspect differs from 1;
+  * HSV runs in float RGB<->HSV space rather than uint8 LUTs (same
+    distribution, no 1/255 quantisation);
+  * warps use bilinear ``map_coordinates`` (cv2 default is also bilinear).
+
+Geometry parity (exact): the affine matrix composition — center translate ->
+perspective -> rotation+scale -> shear -> random translate — and the label
+corner-transform + ``box_candidates`` gate replicate the reference formulas.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentHyp:
+    """Augmentation hyperparameters (data/hyp.scratch.yaml:24-33)."""
+    hsv_h: float = 0.015
+    hsv_s: float = 0.7
+    hsv_v: float = 0.4
+    degrees: float = 0.0
+    translate: float = 0.1
+    scale: float = 0.5
+    shear: float = 0.0
+    perspective: float = 0.0
+    flipud: float = 0.0
+    fliplr: float = 0.5
+    mosaic: float = 1.0
+
+
+# ---------------------------------------------------------------------------
+# color
+# ---------------------------------------------------------------------------
+
+def rgb_to_hsv(x: jnp.ndarray) -> jnp.ndarray:
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    mx = jnp.max(x, axis=-1)
+    mn = jnp.min(x, axis=-1)
+    d = mx - mn + 1e-12
+    h = jnp.where(mx == r, (g - b) / d % 6.0,
+                  jnp.where(mx == g, (b - r) / d + 2.0, (r - g) / d + 4.0))
+    h = h / 6.0 % 1.0
+    s = jnp.where(mx > 0, d / (mx + 1e-12), 0.0)
+    return jnp.stack([h, s, mx], axis=-1)
+
+
+def hsv_to_rgb(x: jnp.ndarray) -> jnp.ndarray:
+    h, s, v = x[..., 0], x[..., 1], x[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1 - s)
+    q = v * (1 - f * s)
+    t = v * (1 - (1 - f) * s)
+    i = i.astype(jnp.int32) % 6
+    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
+    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
+    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def augment_hsv(img: jnp.ndarray, key: jax.Array,
+                hyp: AugmentHyp) -> jnp.ndarray:
+    """img float 0..1 HWC. Multiplicative h/s/v gains ~ U(1-g, 1+g)
+    (reference augment_hsv's r = uniform(-1,1)*gain + 1)."""
+    r = jax.random.uniform(key, (3,), minval=-1.0, maxval=1.0)
+    gains = r * jnp.asarray([hyp.hsv_h, hyp.hsv_s, hyp.hsv_v]) + 1.0
+    hsv = rgb_to_hsv(img)
+    h = (hsv[..., 0] * gains[0]) % 1.0
+    s = jnp.clip(hsv[..., 1] * gains[1], 0.0, 1.0)
+    v = jnp.clip(hsv[..., 2] * gains[2], 0.0, 1.0)
+    return hsv_to_rgb(jnp.stack([h, s, v], axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# geometry
+# ---------------------------------------------------------------------------
+
+def _perspective_matrix(key: jax.Array, hyp: AugmentHyp, width: int,
+                        height: int, border: int) -> jnp.ndarray:
+    """3x3 src->dst matrix, reference composition
+    (datasets.py random_perspective: M = T @ S @ R @ P @ C)."""
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    # Center
+    C = jnp.eye(3).at[0, 2].set(-width / 2).at[1, 2].set(-height / 2)
+    # Perspective
+    P = jnp.eye(3)
+    P = P.at[2, 0].set(jax.random.uniform(
+        k1, minval=-hyp.perspective, maxval=hyp.perspective))
+    P = P.at[2, 1].set(jax.random.uniform(
+        k2, minval=-hyp.perspective, maxval=hyp.perspective))
+    # Rotation + scale
+    a = jax.random.uniform(k3, minval=-hyp.degrees, maxval=hyp.degrees)
+    s = jax.random.uniform(k4, minval=1 - hyp.scale, maxval=1 + hyp.scale)
+    rad = a * math.pi / 180.0
+    ca, sa = jnp.cos(rad) * s, jnp.sin(rad) * s
+    R = jnp.asarray([[ca, sa, 0.0], [-sa, ca, 0.0], [0.0, 0.0, 1.0]])
+    # Shear
+    sh = jax.random.uniform(k5, (2,), minval=-hyp.shear, maxval=hyp.shear)
+    sh = jnp.tan(sh * math.pi / 180.0)
+    S = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    S = S.at[0, 1].set(sh[0]).at[1, 0].set(sh[1])
+    # Translation (into the de-bordered output frame)
+    out_w, out_h = width - 2 * border, height - 2 * border
+    t = jax.random.uniform(k6, (2,), minval=0.5 - hyp.translate,
+                           maxval=0.5 + hyp.translate)
+    T = jnp.eye(3).at[0, 2].set(t[0] * out_w).at[1, 2].set(t[1] * out_h)
+    return T @ S @ R @ P @ C
+
+
+def warp_image(img: jnp.ndarray, M: jnp.ndarray, out_hw: tuple[int, int],
+               fill: float = 114.0 / 255.0) -> jnp.ndarray:
+    """Apply src->dst perspective M to HWC image (bilinear, constant fill)."""
+    oh, ow = out_hw
+    Minv = jnp.linalg.inv(M)
+    ys, xs = jnp.meshgrid(jnp.arange(oh, dtype=jnp.float32),
+                          jnp.arange(ow, dtype=jnp.float32), indexing="ij")
+    ones = jnp.ones_like(xs)
+    src = Minv @ jnp.stack([xs.ravel(), ys.ravel(), ones.ravel()])
+    sx = src[0] / src[2]
+    sy = src[1] / src[2]
+    def sample(channel):
+        return jax.scipy.ndimage.map_coordinates(
+            channel, [sy, sx], order=1, mode="constant", cval=fill)
+    out = jax.vmap(sample, in_axes=-1, out_axes=-1)(img)
+    return out.reshape(oh, ow, img.shape[-1])
+
+
+def transform_labels(labels_xyxy: jnp.ndarray, mask: jnp.ndarray,
+                     M: jnp.ndarray, out_hw: tuple[int, int],
+                     perspective: bool = False):
+    """Warp xyxy boxes through M; clip; apply the reference's
+    box_candidates gate (wh>2px, area ratio>0.1, aspect<20)."""
+    oh, ow = out_hw
+    x1, y1, x2, y2 = (labels_xyxy[:, i] for i in range(4))
+    corners = jnp.stack([
+        jnp.stack([x1, y1], -1), jnp.stack([x2, y1], -1),
+        jnp.stack([x1, y2], -1), jnp.stack([x2, y2], -1)], axis=1)  # (N,4,2)
+    n = corners.shape[0]
+    pts = jnp.concatenate([corners.reshape(-1, 2),
+                           jnp.ones((n * 4, 1))], axis=1)  # (4N, 3)
+    warped = pts @ M.T
+    if perspective:
+        warped = warped[:, :2] / warped[:, 2:3]
+    else:
+        warped = warped[:, :2]
+    warped = warped.reshape(n, 4, 2)
+    nx1 = jnp.clip(warped[..., 0].min(1), 0, ow)
+    nx2 = jnp.clip(warped[..., 0].max(1), 0, ow)
+    ny1 = jnp.clip(warped[..., 1].min(1), 0, oh)
+    ny2 = jnp.clip(warped[..., 1].max(1), 0, oh)
+    new = jnp.stack([nx1, ny1, nx2, ny2], axis=-1)
+    w1, h1 = x2 - x1, y2 - y1
+    w2, h2 = nx2 - nx1, ny2 - ny1
+    ar = jnp.maximum(w2 / (h2 + 1e-16), h2 / (w2 + 1e-16))
+    keep = ((w2 > 2) & (h2 > 2)
+            & (w2 * h2 / (w1 * h1 + 1e-16) > 0.1) & (ar < 20))
+    return new, mask & keep
+
+
+# ---------------------------------------------------------------------------
+# mosaic
+# ---------------------------------------------------------------------------
+
+def mosaic4(tiles: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray,
+            key: jax.Array, s: int, fill: float = 114.0 / 255.0):
+    """4 (s,s,C) tiles -> (2s,2s,C) mosaic canvas + shifted xyxy labels.
+
+    Reference load_mosaic_RGB_IR (datasets.py:1764-1913): center
+    (xc, yc) ~ U(s/2, 3s/2)^2; tile i goes to the i-th quadrant touching the
+    center.  Fixed-shape formulation: each tile is placed by translation
+    only; reads outside the canvas clip.
+    labels: (4, T, 5) [cls, x, y, w, h] normalized per tile.
+    Returns canvas (2s,2s,C), labels_xyxy (4*T, 4), cls (4*T,), mask (4*T,).
+    """
+    c = jnp.round(jax.random.uniform(key, (2,), minval=0.5 * s,
+                                     maxval=1.5 * s))
+    xc, yc = c[0], c[1]
+
+    # tile top-left offsets: the corner adjacent to the mosaic center touches
+    # (xc, yc); quadrants partition the canvas so composition is a select
+    offs = [(yc - s, xc - s), (yc - s, xc), (yc, xc - s), (yc, xc)]
+    ys, xs = jnp.meshgrid(jnp.arange(2 * s, dtype=jnp.float32),
+                          jnp.arange(2 * s, dtype=jnp.float32),
+                          indexing="ij")
+
+    def translated(tile, ty, tx):
+        def sample(channel):
+            return jax.scipy.ndimage.map_coordinates(
+                channel, [(ys - ty).ravel(), (xs - tx).ravel()], order=0,
+                mode="constant", cval=fill)
+        out = jax.vmap(sample, in_axes=-1, out_axes=-1)(tile)
+        return out.reshape(2 * s, 2 * s, tile.shape[-1])
+
+    quad = (2 * (ys >= yc).astype(jnp.int32)
+            + (xs >= xc).astype(jnp.int32))  # 0 tl, 1 tr, 2 bl, 3 br
+    canvas = jnp.full((2 * s, 2 * s, tiles.shape[-1]), fill, tiles.dtype)
+    for i in range(4):
+        ti = translated(tiles[i], offs[i][0], offs[i][1])
+        canvas = jnp.where((quad == i)[..., None], ti, canvas)
+
+    all_boxes, all_cls, all_mask = [], [], []
+    for i in range(4):
+        ty, tx = offs[i]
+        lab = labels[i]
+        cx, cy = lab[:, 1] * s, lab[:, 2] * s
+        w, h = lab[:, 3] * s, lab[:, 4] * s
+        all_boxes.append(jnp.stack([cx - w / 2 + tx, cy - h / 2 + ty,
+                                    cx + w / 2 + tx, cy + h / 2 + ty],
+                                   axis=-1))
+        all_cls.append(lab[:, 0])
+        all_mask.append(mask[i])
+    boxes = jnp.clip(jnp.concatenate(all_boxes), 0, 2 * s)
+    return (canvas, boxes, jnp.concatenate(all_cls),
+            jnp.concatenate(all_mask))
+
+
+# ---------------------------------------------------------------------------
+# full per-sample pipelines
+# ---------------------------------------------------------------------------
+
+def augment_pair_mosaic(rgb4, ir4, labels4, mask4, key, s: int,
+                        hyp: AugmentHyp, max_labels: int):
+    """Paired mosaic + shared perspective + per-modality HSV + shared flip.
+
+    rgb4/ir4: (4, s, s, 3) float 0..1; labels4: (4, T, 5) normalized;
+    mask4: (4, T).  Returns (rgb, ir, labels (max_labels,5) normalized xywh,
+    mask)."""
+    k_mosaic, k_warp, k_hsv_r, k_hsv_i, k_flip = jax.random.split(key, 5)
+    # identical geometry for both modalities: same mosaic key + same M
+    rgb_c, boxes, cls, m = mosaic4(rgb4, labels4, mask4, k_mosaic, s)
+    ir_c, _, _, _ = mosaic4(ir4, labels4, mask4, k_mosaic, s)
+
+    border = s // 2
+    M = _perspective_matrix(k_warp, hyp, 2 * s, 2 * s, border)
+    rgb_w = warp_image(rgb_c, M, (s, s))
+    ir_w = warp_image(ir_c, M, (s, s))
+    boxes, m = transform_labels(boxes, m, M, (s, s),
+                                perspective=hyp.perspective > 0)
+
+    rgb_w = augment_hsv(rgb_w, k_hsv_r, hyp)  # independent gains per
+    ir_w = augment_hsv(ir_w, k_hsv_i, hyp)    # modality (reference quirk)
+
+    kud, klr = jax.random.split(k_flip)
+    do_ud = jax.random.uniform(kud) < hyp.flipud
+    do_lr = jax.random.uniform(klr) < hyp.fliplr
+    rgb_w = jnp.where(do_ud, rgb_w[::-1], rgb_w)
+    ir_w = jnp.where(do_ud, ir_w[::-1], ir_w)
+    rgb_w = jnp.where(do_lr, rgb_w[:, ::-1], rgb_w)
+    ir_w = jnp.where(do_lr, ir_w[:, ::-1], ir_w)
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    x1, x2 = (jnp.where(do_lr, s - x2, x1), jnp.where(do_lr, s - x1, x2))
+    y1, y2 = (jnp.where(do_ud, s - y2, y1), jnp.where(do_ud, s - y1, y2))
+
+    # back to normalized xywh, pad/crop to max_labels by confidence of mask
+    cx = (x1 + x2) / 2 / s
+    cy = (y1 + y2) / 2 / s
+    w = (x2 - x1) / s
+    h = (y2 - y1) / s
+    lab = jnp.stack([cls, cx, cy, w, h], axis=-1)
+    # top-max_labels valid entries (stable order)
+    order = jnp.argsort(~m)  # valid first
+    lab = lab[order][:max_labels]
+    m = m[order][:max_labels]
+    lab = jnp.where(m[:, None], lab, 0.0)
+    return rgb_w, ir_w, lab, m
+
+
+def augment_pair_basic(rgb, ir, labels, mask, key, hyp: AugmentHyp):
+    """No-mosaic path: per-modality HSV + shared flips on letterboxed pairs.
+    labels stay normalized xywh."""
+    k_hsv_r, k_hsv_i, k_flip = jax.random.split(key, 3)
+    rgb = augment_hsv(rgb, k_hsv_r, hyp)
+    ir = augment_hsv(ir, k_hsv_i, hyp)
+    kud, klr = jax.random.split(k_flip)
+    do_ud = jax.random.uniform(kud) < hyp.flipud
+    do_lr = jax.random.uniform(klr) < hyp.fliplr
+    rgb = jnp.where(do_ud, rgb[::-1], rgb)
+    ir = jnp.where(do_ud, ir[::-1], ir)
+    rgb = jnp.where(do_lr, rgb[:, ::-1], rgb)
+    ir = jnp.where(do_lr, ir[:, ::-1], ir)
+    cx = jnp.where(do_lr, 1.0 - labels[:, 1], labels[:, 1])
+    cy = jnp.where(do_ud, 1.0 - labels[:, 2], labels[:, 2])
+    labels = labels.at[:, 1].set(cx).at[:, 2].set(cy)
+    labels = jnp.where(mask[:, None], labels, 0.0)
+    return rgb, ir, labels, mask
+
+
+def make_batch_augment(s: int, hyp: AugmentHyp, max_labels: int,
+                       mosaic: bool = True):
+    """Returns a jittable (batch, key) -> batch augmentation over
+    dict(rgb4/ir4/labels4/mask4) [mosaic] or dict(rgb/ir/targets/mask)."""
+    if mosaic:
+        def fn(batch, key):
+            keys = jax.random.split(key, batch["rgb4"].shape[0])
+            rgb, ir, lab, m = jax.vmap(
+                lambda r4, i4, l4, m4, k: augment_pair_mosaic(
+                    r4, i4, l4, m4, k, s, hyp, max_labels)
+            )(batch["rgb4"], batch["ir4"], batch["labels4"],
+              batch["mask4"], keys)
+            return {"rgb": rgb, "ir": ir, "targets": lab, "mask": m}
+    else:
+        def fn(batch, key):
+            keys = jax.random.split(key, batch["rgb"].shape[0])
+            rgb, ir, lab, m = jax.vmap(
+                lambda r, i, l, mm, k: augment_pair_basic(r, i, l, mm, k,
+                                                          hyp)
+            )(batch["rgb"], batch["ir"], batch["targets"], batch["mask"],
+              keys)
+            return {"rgb": rgb, "ir": ir, "targets": lab, "mask": m}
+    return fn

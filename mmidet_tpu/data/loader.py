@@ -49,6 +49,83 @@ def collate_paired(samples: list[dict], img_size: int = 640,
             "shapes": shapes}
 
 
+def collate_mosaic_pool(samples4: list[list[dict]], img_size: int,
+                        max_labels_tile: int = 60) -> dict:
+    """Collate B groups of 4 samples into the mosaic-augmentation input
+    format: rgb4/ir4 (B,4,s,s,3) uint8 letterboxed tiles + labels4
+    (B,4,T,5) + mask4 (reference picks self + 3 random images,
+    datasets.py:1764)."""
+    bsz = len(samples4)
+    s = img_size
+    rgb4 = np.empty((bsz, 4, s, s, 3), np.uint8)
+    ir4 = np.empty((bsz, 4, s, s, 3), np.uint8)
+    labels4 = np.zeros((bsz, 4, max_labels_tile, 5), np.float32)
+    mask4 = np.zeros((bsz, 4, max_labels_tile), bool)
+    for b, group in enumerate(samples4):
+        for t, smp in enumerate(group):
+            out_r, r, (dw, dh) = letterbox_np(smp["rgb"], (s, s))
+            out_i, _, _ = letterbox_np(smp["ir"], (s, s))
+            rgb4[b, t], ir4[b, t] = out_r, out_i
+            lab = smp["labels"]
+            h0, w0 = smp["shape"]
+            n = min(len(lab), max_labels_tile)
+            if n:
+                l = lab[:n].copy()
+                l[:, 1] = (l[:, 1] * w0 * r + dw) / s
+                l[:, 2] = (l[:, 2] * h0 * r + dh) / s
+                l[:, 3] = l[:, 3] * w0 * r / s
+                l[:, 4] = l[:, 4] * h0 * r / s
+                labels4[b, t, :n] = l
+                mask4[b, t, :n] = True
+    return {"rgb4": rgb4, "ir4": ir4, "labels4": labels4, "mask4": mask4}
+
+
+class MosaicLoader:
+    """Training loader yielding mosaic-pool batches (4 tiles per sample:
+    the indexed image + 3 uniformly random ones, as the reference)."""
+
+    def __init__(self, dataset: PairedDataset, batch_size: int,
+                 img_size: int = 640, max_labels_tile: int = 60,
+                 seed: int = 0, prefetch: int = 2):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.img_size = img_size
+        self.max_labels_tile = max_labels_tile
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self):
+        return len(self.ds) // self.batch_size
+
+    def __iter__(self):
+        rng = np.random.default_rng(self.seed + self.epoch)
+        self.epoch += 1
+        idx = rng.permutation(len(self.ds))
+        nb = len(self)
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+
+        def worker():
+            for b in range(nb):
+                sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
+                groups = []
+                for i in sel:
+                    extra = rng.integers(0, len(self.ds), 3)
+                    groups.append([self.ds[int(j)]
+                                   for j in [i, *extra]])
+                q.put(collate_mosaic_pool(groups, self.img_size,
+                                          self.max_labels_tile))
+            q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+
+
 class PairedLoader:
     """Iterates collated batches; optional shuffle; drops the last partial
     batch in training (fixed shapes)."""

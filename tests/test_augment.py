@@ -1,0 +1,140 @@
+"""On-device augmentation graph tests: HSV roundtrip, warp geometry, mosaic
+composition, label transforms, determinism, paired-geometry invariants."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from mmidet_tpu.data.augment import (AugmentHyp, augment_hsv,
+                                     augment_pair_basic, augment_pair_mosaic,
+                                     hsv_to_rgb, mosaic4, rgb_to_hsv,
+                                     transform_labels, warp_image)
+
+
+def test_hsv_roundtrip():
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+    y = np.asarray(hsv_to_rgb(rgb_to_hsv(jnp.asarray(x))))
+    np.testing.assert_allclose(y, x, atol=1e-5)
+
+
+def test_hsv_zero_gain_identity():
+    hyp = AugmentHyp(hsv_h=0.0, hsv_s=0.0, hsv_v=0.0)
+    x = jnp.asarray(np.random.default_rng(1).uniform(
+        0, 1, (8, 8, 3)).astype(np.float32))
+    y = augment_hsv(x, jax.random.PRNGKey(0), hyp)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-5)
+
+
+def test_warp_identity():
+    x = jnp.asarray(np.random.default_rng(2).uniform(
+        0, 1, (12, 12, 3)).astype(np.float32))
+    M = jnp.eye(3)
+    y = warp_image(x, M, (12, 12))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+
+def test_warp_translation_fill():
+    x = jnp.ones((8, 8, 1))
+    M = jnp.eye(3).at[0, 2].set(4.0)  # shift right by 4
+    y = np.asarray(warp_image(x, M, (8, 8)))
+    assert np.allclose(y[:, 4:], 1.0)
+    np.testing.assert_allclose(y[:, :3], 114.0 / 255.0, atol=1e-6)
+
+
+def test_transform_labels_translation():
+    boxes = jnp.asarray([[10.0, 10.0, 20.0, 20.0]])
+    mask = jnp.asarray([True])
+    M = jnp.eye(3).at[0, 2].set(5.0)
+    new, keep = transform_labels(boxes, mask, M, (64, 64))
+    np.testing.assert_allclose(np.asarray(new), [[15, 10, 25, 20]])
+    assert bool(keep[0])
+
+
+def test_transform_labels_filters_degenerate():
+    boxes = jnp.asarray([[10.0, 10.0, 20.0, 20.0]])
+    mask = jnp.asarray([True])
+    # shift entirely off-canvas -> clipped to zero area -> filtered
+    M = jnp.eye(3).at[0, 2].set(100.0)
+    _, keep = transform_labels(boxes, mask, M, (64, 64))
+    assert not bool(keep[0])
+
+
+def test_mosaic4_structure():
+    s = 32
+    tiles = jnp.stack([jnp.full((s, s, 3), v)
+                       for v in (0.1, 0.3, 0.5, 0.7)])
+    labels = np.zeros((4, 2, 5), np.float32)
+    labels[:, 0] = [0, 0.5, 0.5, 0.5, 0.5]
+    mask = np.zeros((4, 2), bool)
+    mask[:, 0] = True
+    canvas, boxes, cls, m = mosaic4(tiles, jnp.asarray(labels),
+                                    jnp.asarray(mask),
+                                    jax.random.PRNGKey(3), s)
+    c = np.asarray(canvas)
+    assert c.shape == (2 * s, 2 * s, 3)
+    # all four tile values must appear somewhere
+    uniq = np.unique(c)
+    for v in (0.1, 0.3, 0.5, 0.7):
+        assert np.isclose(uniq, v, atol=1e-3).any(), f"tile {v} missing"
+    assert np.asarray(m).sum() == 4
+    b = np.asarray(boxes)[np.asarray(m)]
+    assert (b >= 0).all() and (b <= 2 * s).all()
+
+
+def test_augment_pair_mosaic_end_to_end():
+    s = 64
+    rng = np.random.default_rng(4)
+    rgb4 = jnp.asarray(rng.uniform(0, 1, (4, s, s, 3)).astype(np.float32))
+    ir4 = jnp.asarray(rng.uniform(0, 1, (4, s, s, 3)).astype(np.float32))
+    labels = np.zeros((4, 8, 5), np.float32)
+    labels[:, 0] = [1, 0.5, 0.5, 0.4, 0.4]
+    mask = np.zeros((4, 8), bool)
+    mask[:, 0] = True
+    hyp = AugmentHyp()
+    fn = jax.jit(lambda k: augment_pair_mosaic(
+        rgb4, ir4, jnp.asarray(labels), jnp.asarray(mask), k, s, hyp, 16))
+    rgb, ir, lab, m = fn(jax.random.PRNGKey(5))
+    assert rgb.shape == (s, s, 3) and ir.shape == (s, s, 3)
+    assert lab.shape == (16, 5) and m.shape == (16,)
+    lv = np.asarray(lab)[np.asarray(m)]
+    if len(lv):
+        assert (lv[:, 1:] >= 0).all() and (lv[:, 1:] <= 1).all()
+    # determinism
+    rgb2, _, lab2, m2 = fn(jax.random.PRNGKey(5))
+    np.testing.assert_array_equal(np.asarray(rgb), np.asarray(rgb2))
+    np.testing.assert_array_equal(np.asarray(lab), np.asarray(lab2))
+
+
+def test_augment_pair_basic_flip_consistency():
+    rng = np.random.default_rng(6)
+    rgb = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)).astype(np.float32))
+    ir = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)).astype(np.float32))
+    labels = jnp.asarray([[0, 0.25, 0.25, 0.1, 0.1]], jnp.float32)
+    mask = jnp.asarray([True])
+    hyp = AugmentHyp(hsv_h=0, hsv_s=0, hsv_v=0, fliplr=1.0, flipud=0.0)
+    r2, i2, l2, m2 = augment_pair_basic(rgb, ir, labels, mask,
+                                        jax.random.PRNGKey(0), hyp)
+    # both modalities flipped identically
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(rgb)[:, ::-1],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(i2), np.asarray(ir)[:, ::-1],
+                               atol=1e-5)
+    np.testing.assert_allclose(float(l2[0, 1]), 0.75, atol=1e-6)
+
+
+def test_mosaic_loader(tmp_path):
+    from mmidet_tpu.data.datasets import PairedDataset, load_data_yaml
+    from mmidet_tpu.data.loader import MosaicLoader
+    from mmidet_tpu.data.synthetic import make_synthetic_pair_dataset
+    yml = make_synthetic_pair_dataset(str(tmp_path), n=6, img=96)
+    d = load_data_yaml(yml)
+    ds = PairedDataset(d["train_rgb"], d["train_ir"], nc=2,
+                       cache_dir=str(tmp_path))
+    loader = MosaicLoader(ds, batch_size=2, img_size=64, max_labels_tile=8)
+    b = next(iter(loader))
+    assert b["rgb4"].shape == (2, 4, 64, 64, 3)
+    assert b["labels4"].shape == (2, 4, 8, 5)
+    assert b["mask4"].any()
