@@ -1,0 +1,111 @@
+"""Two-stream detection CLI — the reference ``detect_twostream.py``
+surface (detect_twostream.py:19-196): paired image/dir inference, NMS,
+annotated ``_rgb``/``_ir`` outputs, label txt files, FPS report."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmidet_tpu.cli.val import load_model_and_vars
+from mmidet_tpu.data.datasets import discover_images, letterbox_np
+from mmidet_tpu.ops.nms import non_max_suppression
+from mmidet_tpu.utils.general import increment_path, set_logging
+from mmidet_tpu.utils.plots import colors, plot_one_box
+
+
+def build_parser():
+    p = argparse.ArgumentParser("mmidet-tpu detect")
+    p.add_argument("--weights", type=str, default="")
+    p.add_argument("--cfg", type=str, default="yolov5l_fuse3_fourier")
+    p.add_argument("--source1", type=str, required=True, help="RGB images")
+    p.add_argument("--source2", type=str, required=True, help="IR images")
+    p.add_argument("--img-size", type=int, default=640)
+    p.add_argument("--conf-thres", type=float, default=0.4)
+    p.add_argument("--iou-thres", type=float, default=0.45)
+    p.add_argument("--nc", type=int, default=6)
+    p.add_argument("--names", type=str, nargs="*", default=None)
+    p.add_argument("--project", type=str, default="runs/detect")
+    p.add_argument("--name", type=str, default="exp")
+    p.add_argument("--save-txt", action="store_true")
+    p.add_argument("--nosave", action="store_true")
+    return p
+
+
+def main(argv=None):
+    set_logging()
+    args = build_parser().parse_args(argv)
+    from PIL import Image
+    model, variables, spec = load_model_and_vars(args.cfg, args.weights,
+                                                 args.nc)
+    names = args.names or [str(i) for i in range(args.nc)]
+    out_dir = increment_path(os.path.join(args.project, args.name))
+    os.makedirs(out_dir, exist_ok=True)
+
+    rgb_files = discover_images(args.source1)
+    ir_files = discover_images(args.source2)
+    assert len(rgb_files) == len(ir_files), "paired sources length mismatch"
+
+    s = args.img_size
+
+    @jax.jit
+    def infer(rgb, ir):
+        out = model.apply(variables, rgb, ir, train=False)
+        return non_max_suppression(out["pred"].astype(jnp.float32),
+                                   conf_thres=args.conf_thres,
+                                   iou_thres=args.iou_thres)
+
+    times = []
+    for rf, irf in zip(rgb_files, ir_files):
+        im0_rgb = np.asarray(Image.open(rf).convert("RGB"))
+        im0_ir = np.asarray(Image.open(irf).convert("RGB"))
+        lb_rgb, r, (dw, dh) = letterbox_np(im0_rgb, (s, s))
+        lb_ir, _, _ = letterbox_np(im0_ir, (s, s))
+        t0 = time.perf_counter()
+        dets, valid = infer(
+            jnp.asarray(lb_rgb, jnp.float32)[None] / 255.0,
+            jnp.asarray(lb_ir, jnp.float32)[None] / 255.0)
+        d = np.asarray(jax.block_until_ready(dets))[0]
+        v = np.asarray(valid)[0]
+        times.append(time.perf_counter() - t0)
+        d = d[v]
+        # letterboxed -> original coords
+        if len(d):
+            d[:, [0, 2]] = np.clip((d[:, [0, 2]] - dw) / r, 0,
+                                   im0_rgb.shape[1])
+            d[:, [1, 3]] = np.clip((d[:, [1, 3]] - dh) / r, 0,
+                                   im0_rgb.shape[0])
+        base = os.path.splitext(os.path.basename(rf))[0]
+        if args.save_txt:
+            with open(os.path.join(out_dir, base + ".txt"), "w") as fh:
+                for *box, conf, cls in d:
+                    fh.write(f"{int(cls)} " + " ".join(
+                        f"{x:.1f}" for x in box) + f" {conf:.4f}\n")
+        if not args.nosave:
+            ann_rgb, ann_ir = im0_rgb.copy(), im0_ir.copy()
+            for *box, conf, cls in d:
+                label = f"{names[int(cls)]} {conf:.2f}"
+                ann_rgb = plot_one_box(box, ann_rgb, colors(int(cls)),
+                                       label)
+                ann_ir = plot_one_box(box, ann_ir, colors(int(cls)), label)
+            Image.fromarray(ann_rgb).save(
+                os.path.join(out_dir, base + "_rgb.jpg"))
+            Image.fromarray(ann_ir).save(
+                os.path.join(out_dir, base + "_ir.jpg"))
+        print(f"{base}: {len(d)} dets, {times[-1] * 1e3:.1f} ms "
+              f"({1.0 / times[-1]:.1f} Hz)")
+
+    if times[1:]:
+        avg = len(times[1:]) / sum(times[1:])
+        print(f"Average Speed: {avg:.1f} Hz (excl. first/compile)")
+    print(f"results saved to {out_dir}")
+    return out_dir
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""Training CLI — mirrors the reference ``train.py`` argparse surface
+(train.py:948-983) mapped onto the TPU trainer."""
+
+from __future__ import annotations
+
+import argparse
+
+from mmidet_tpu.train.trainer import TrainConfig, train
+from mmidet_tpu.utils.general import set_logging
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("mmidet-tpu train")
+    p.add_argument("--cfg", type=str,
+                   default="yolov5l_fuse3_fourier",
+                   help="zoo model name or model YAML path")
+    p.add_argument("--data", type=str, required=True,
+                   help="dataset YAML (train_rgb/train_ir/val_rgb/val_ir)")
+    p.add_argument("--hyp", type=str, default="",
+                   help="hyperparameter YAML")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--img-size", type=int, default=640)
+    p.add_argument("--project", type=str, default="runs/train")
+    p.add_argument("--name", type=str, default="exp")
+    p.add_argument("--adam", action="store_true")
+    p.add_argument("--linear-lr", action="store_true")
+    p.add_argument("--resume", type=str, default="",
+                   help="workdir to resume from")
+    p.add_argument("--no-mosaic", action="store_true")
+    p.add_argument("--no-cem", action="store_true")
+    p.add_argument("--aux-mode", type=str, default="reference",
+                   choices=["reference", "full", "off"])
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval-every", type=int, default=1)
+    p.add_argument("--optimizer-groups", type=str, default="fixed",
+                   choices=["fixed", "reference"])
+    return p
+
+
+def main(argv=None):
+    set_logging()
+    args = build_parser().parse_args(argv)
+    cfg = TrainConfig(
+        model=args.cfg, data=args.data, hyp=args.hyp, epochs=args.epochs,
+        batch_size=args.batch_size, img_size=args.img_size,
+        workdir=f"{args.project}/{args.name}", adam=args.adam,
+        linear_lr=args.linear_lr, resume=args.resume,
+        mosaic_prob=0.0 if args.no_mosaic else 1.0,
+        use_cem=not args.no_cem, aux_mode=args.aux_mode, dtype=args.dtype,
+        seed=args.seed, eval_every=args.eval_every,
+        optimizer_groups=args.optimizer_groups)
+    out = train(cfg)
+    print(f"done: best fitness {out['best_fitness']:.4f} "
+          f"-> {out['workdir']}")
+    return out
+
+
+if __name__ == "__main__":
+    main()

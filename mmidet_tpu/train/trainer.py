@@ -1,0 +1,238 @@
+"""Two-stream training driver: the TPU-native ``train_rgb_ir``.
+
+Functional parity surface: reference ``train.py:476-943`` — model build,
+dataloaders, optimizer groups + warmup + cosine, EMA, per-epoch eval with
+fitness-driven best checkpointing, results logging, resume.  Differences by
+design:
+  * one jitted train step (fwd + aux + loss + grad + SGD + EMA) over a device
+    mesh replaces the autocast/GradScaler/DDP loop;
+  * augmentation is a second jitted program feeding the step (device
+    resident), not cv2 worker processes;
+  * checkpoints are orbax state pytrees (resume restores optimizer/EMA/epoch
+    — fixing the reference's commented-out dual-stream resume,
+    train.py:604-630);
+  * no rank-conditional code: per-host data loading + GSPMD.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from mmidet_tpu.data.augment import AugmentHyp, make_batch_augment
+from mmidet_tpu.data.datasets import PairedDataset, load_data_yaml
+from mmidet_tpu.data.loader import MosaicLoader, PairedLoader
+from mmidet_tpu.eval.evaluator import evaluate
+from mmidet_tpu.eval.metrics import fitness
+from mmidet_tpu.losses.detection import LossHyp
+from mmidet_tpu.models.detector import TwoStreamDetector
+from mmidet_tpu.models.spec import load_yolo_yaml
+from mmidet_tpu.models.zoo import get_model_spec
+from mmidet_tpu.train.checkpoint import (restore_checkpoint, save_checkpoint,
+                                         strip_for_deploy)
+from mmidet_tpu.train.optimizer import build_adam, build_optimizer
+from mmidet_tpu.train.schedule import ScheduleConfig
+from mmidet_tpu.train.step import init_state, make_train_step
+from mmidet_tpu.utils.general import check_img_size, increment_path
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    model: str = "yolov5l_fuse3_fourier"   # zoo name or YAML path
+    data: str = ""                         # dataset YAML path
+    hyp: str | dict = ""                   # hyp YAML path or dict
+    epochs: int = 100
+    batch_size: int = 8
+    img_size: int = 640
+    max_labels: int = 120
+    workdir: str = "runs/train/exp"
+    adam: bool = False
+    linear_lr: bool = False
+    mosaic_prob: float = 1.0
+    use_cem: bool = True
+    aux_mode: str = "reference"
+    dtype: str = "bfloat16"
+    ema_decay: float = 0.9999
+    eval_every: int = 1
+    seed: int = 0
+    resume: str = ""                        # checkpoint dir to resume from
+    optimizer_groups: str = "fixed"         # 'fixed' | 'reference'
+
+
+DEFAULT_HYP = {
+    "lr0": 0.01, "lrf": 0.2, "momentum": 0.937, "weight_decay": 0.0005,
+    "warmup_epochs": 3.0, "warmup_momentum": 0.8, "warmup_bias_lr": 0.1,
+    "box": 0.05, "cls": 0.5, "cls_pw": 1.0, "obj": 1.0, "obj_pw": 1.0,
+    "iou_t": 0.20, "anchor_t": 4.0, "fl_gamma": 0.0,
+    "hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4, "degrees": 0.0,
+    "translate": 0.1, "scale": 0.5, "shear": 0.0, "perspective": 0.0,
+    "flipud": 0.0, "fliplr": 0.5, "mosaic": 1.0, "mixup": 0.0,
+    "label_smoothing": 0.0,
+}
+
+
+def load_hyp(hyp) -> dict:
+    if isinstance(hyp, dict):
+        return {**DEFAULT_HYP, **hyp}
+    if hyp and os.path.isfile(hyp):
+        with open(hyp) as fh:
+            return {**DEFAULT_HYP, **yaml.safe_load(fh)}
+    return dict(DEFAULT_HYP)
+
+
+def _spec_from_cfg(cfg: TrainConfig, nc: int):
+    if cfg.model.endswith((".yaml", ".yml")):
+        return load_yolo_yaml(cfg.model, nc=nc)
+    return get_model_spec(cfg.model, nc=nc)
+
+
+def _anchors_grid(spec):
+    a = np.asarray(spec.anchors, np.float32).reshape(spec.nl, spec.na, 2)
+    s = np.asarray(spec.strides, np.float32)[:, None, None]
+    return jnp.asarray(a / s)
+
+
+def train(cfg: TrainConfig) -> dict:
+    """Run training; returns summary dict with best fitness and workdir."""
+    hyp = load_hyp(cfg.hyp)
+    workdir = increment_path(cfg.workdir) if not cfg.resume else cfg.resume
+    os.makedirs(workdir, exist_ok=True)
+    with open(os.path.join(workdir, "hyp.yaml"), "w") as fh:
+        yaml.safe_dump(hyp, fh)
+    with open(os.path.join(workdir, "opt.yaml"), "w") as fh:
+        yaml.safe_dump(dataclasses.asdict(cfg), fh)
+
+    data = load_data_yaml(cfg.data)
+    nc = int(data["nc"])
+    names = data.get("names", [str(i) for i in range(nc)])
+    img_size = check_img_size(cfg.img_size)
+
+    spec = _spec_from_cfg(cfg, nc)
+    dtype = getattr(jnp, cfg.dtype)
+    model = TwoStreamDetector(spec=spec, use_cem=cfg.use_cem,
+                              aux_mode=cfg.aux_mode, dtype=dtype)
+
+    train_ds = PairedDataset(data["train_rgb"], data["train_ir"], nc=nc,
+                             cache_dir=workdir)
+    val_ds = PairedDataset(data["val_rgb"], data["val_ir"], nc=nc,
+                           cache_dir=workdir)
+    use_mosaic = hyp.get("mosaic", 1.0) > 0 and cfg.mosaic_prob > 0
+    if use_mosaic:
+        loader = MosaicLoader(train_ds, cfg.batch_size, img_size,
+                              seed=cfg.seed)
+    else:
+        loader = PairedLoader(train_ds, cfg.batch_size, img_size,
+                              cfg.max_labels, shuffle=True, seed=cfg.seed)
+    val_loader_fn = lambda: PairedLoader(val_ds, cfg.batch_size, img_size,
+                                         cfg.max_labels, drop_last=False)
+    steps_per_epoch = max(len(loader), 1)
+
+    aug_hyp = AugmentHyp(
+        hsv_h=hyp["hsv_h"], hsv_s=hyp["hsv_s"], hsv_v=hyp["hsv_v"],
+        degrees=hyp["degrees"], translate=hyp["translate"],
+        scale=hyp["scale"], shear=hyp["shear"],
+        perspective=hyp["perspective"], flipud=hyp["flipud"],
+        fliplr=hyp["fliplr"], mosaic=hyp["mosaic"])
+    augment = jax.jit(make_batch_augment(img_size, aug_hyp, cfg.max_labels,
+                                         mosaic=use_mosaic))
+
+    sched = ScheduleConfig(
+        lr0=hyp["lr0"], lrf=hyp["lrf"], momentum=hyp["momentum"],
+        warmup_epochs=hyp["warmup_epochs"],
+        warmup_momentum=hyp["warmup_momentum"],
+        warmup_bias_lr=hyp["warmup_bias_lr"], epochs=cfg.epochs,
+        steps_per_epoch=steps_per_epoch, linear_lr=cfg.linear_lr)
+    loss_hyp = LossHyp(
+        box=hyp["box"], cls=hyp["cls"], cls_pw=hyp["cls_pw"],
+        obj=hyp["obj"], obj_pw=hyp["obj_pw"], anchor_t=hyp["anchor_t"],
+        fl_gamma=hyp["fl_gamma"],
+        label_smoothing=hyp.get("label_smoothing", 0.0))
+
+    small = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(cfg.seed)}, small,
+                           small, train=False)
+    build = build_adam if cfg.adam else build_optimizer
+    tx, _ = build(variables["params"], sched, hyp["weight_decay"],
+                  total_batch_size=cfg.batch_size,
+                  groups=cfg.optimizer_groups)
+    state = init_state(model, tx, jax.random.PRNGKey(cfg.seed), small, small)
+    anchors = _anchors_grid(spec)
+    step_fn = jax.jit(make_train_step(model, tx, anchors, loss_hyp,
+                                      ema_decay=cfg.ema_decay))
+
+    start_epoch, best_fit = 0, -1.0
+    ckpt_dir = os.path.join(workdir, "ckpt")
+    if cfg.resume:
+        try:
+            state, step, meta = restore_checkpoint(ckpt_dir, state)
+            if meta:
+                start_epoch = int(meta.get("epoch", -1)) + 1
+                best_fit = float(meta.get("best_fitness", -1.0))
+            logger.info("resumed from %s at epoch %d", ckpt_dir, start_epoch)
+        except FileNotFoundError:
+            logger.warning("no checkpoint to resume under %s", ckpt_dir)
+
+    rng = jax.random.PRNGKey(cfg.seed + 1)
+    results_path = os.path.join(workdir, "results.txt")
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    logger.info("model %s: %.2fM params, %d classes, %d train imgs, "
+                "%d epochs x %d steps", cfg.model, n_params / 1e6, nc,
+                len(train_ds), cfg.epochs, steps_per_epoch)
+
+    for epoch in range(start_epoch, cfg.epochs):
+        t0 = time.time()
+        mloss = np.zeros(3)
+        nb = 0
+        for batch in loader:
+            rng, k_aug, k_step = jax.random.split(rng, 3)
+            jb = {k: jnp.asarray(v) for k, v in batch.items()
+                  if k != "shapes"}
+            for im_key in ("rgb", "ir", "rgb4", "ir4"):
+                if im_key in jb:
+                    jb[im_key] = jb[im_key].astype(jnp.float32) / 255.0
+            jb = augment(jb, k_aug)
+            state, metrics = step_fn(state, jb, k_step)
+            mloss += np.asarray([float(metrics["box"]),
+                                 float(metrics["obj"]),
+                                 float(metrics["cls"])])
+            nb += 1
+        mloss /= max(nb, 1)
+
+        res = None
+        if (epoch + 1) % cfg.eval_every == 0 or epoch == cfg.epochs - 1:
+            ema_vars = {"params": state.ema["params"],
+                        "batch_stats": state.ema["batch_stats"]}
+            res = evaluate(model, ema_vars, val_loader_fn(), nc,
+                           names=names)
+            fit = float(fitness(res.fitness_vector())[0])
+            if fit > best_fit:
+                best_fit = fit
+            save_checkpoint(ckpt_dir, state, epoch,
+                            metadata={"epoch": epoch,
+                                      "best_fitness": best_fit,
+                                      "fitness": fit})
+            with open(results_path, "a") as fh:
+                fh.write(
+                    f"{epoch}/{cfg.epochs - 1} "
+                    f"box {mloss[0]:.4f} obj {mloss[1]:.4f} "
+                    f"cls {mloss[2]:.4f} P {res.mp:.4f} R {res.mr:.4f} "
+                    f"mAP50 {res.map50:.4f} mAP {res.map:.4f}\n")
+            logger.info(
+                "epoch %d/%d loss(box/obj/cls) %.4f/%.4f/%.4f "
+                "mAP50 %.4f mAP %.4f fit %.4f (%.1fs)", epoch,
+                cfg.epochs - 1, *mloss, res.map50, res.map, fit,
+                time.time() - t0)
+
+    deploy = strip_for_deploy(state)
+    return {"workdir": workdir, "best_fitness": best_fit,
+            "deploy": deploy, "state": state,
+            "last_results": res, "nc": nc, "names": names, "spec": spec}

@@ -1,0 +1,52 @@
+"""CLI integration tests: train one epoch on the synthetic set, then val and
+detect with the resulting run directory."""
+
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+
+@pytest.fixture(scope="module")
+def data_yaml(tmp_path_factory):
+    from mmidet_tpu.data.synthetic import make_synthetic_pair_dataset
+    root = tmp_path_factory.mktemp("synth")
+    return make_synthetic_pair_dataset(str(root), n=6, img=96)
+
+
+def test_train_cli_one_epoch(data_yaml, tmp_path):
+    from mmidet_tpu.cli.train import main
+    out = main([
+        "--cfg", "yolov5s_add", "--data", data_yaml,
+        "--epochs", "1", "--batch-size", "2", "--img-size", "64",
+        "--project", str(tmp_path / "runs"), "--name", "exp",
+        "--no-mosaic", "--dtype", "float32",
+    ])
+    assert os.path.isfile(os.path.join(out["workdir"], "results.txt"))
+    assert os.path.isdir(os.path.join(out["workdir"], "ckpt"))
+    assert out["best_fitness"] >= 0 or out["best_fitness"] == -1.0
+
+
+def test_detect_cli(data_yaml, tmp_path):
+    from mmidet_tpu.cli.detect import main
+    import yaml
+    d = yaml.safe_load(open(data_yaml))
+    out_dir = main([
+        "--cfg", "yolov5s_add", "--source1", d["val_rgb"],
+        "--source2", d["val_ir"], "--img-size", "64",
+        "--conf-thres", "0.0001", "--nc", "2",
+        "--project", str(tmp_path / "det"), "--name", "exp",
+        "--save-txt",
+    ])
+    files = os.listdir(out_dir)
+    assert any(f.endswith("_rgb.jpg") for f in files)
+    assert any(f.endswith(".txt") for f in files)
+
+
+def test_val_cli(data_yaml):
+    from mmidet_tpu.cli.val import main
+    res = main(["--cfg", "yolov5s_add", "--data", data_yaml,
+                "--batch-size", "2", "--img-size", "64"])
+    assert 0.0 <= res.map50 <= 1.0
