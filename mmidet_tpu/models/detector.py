@@ -97,6 +97,11 @@ class TwoStreamDetector(nn.Module):
                 r, i_ = CrossModalTransformer(rl.args[0], dtype=dt,
                                               name=name)(inp[0], inp[1], train)
                 x = [r, i_]
+            elif m == "MambaFusion":
+                from mmidet_tpu.nn.mamba import MambaFusion
+                r, i_ = MambaFusion(rl.args[0], dtype=dt,
+                                    name=name)(inp[0], inp[1], train)
+                x = [r, i_]
             elif m in ("GPT1", "GPT1_fourier"):
                 cls = PatternFusion if m == "GPT1" else FourierPatternFusion
                 f_in = (inp[0], inp[1])

@@ -177,6 +177,13 @@ def two_stream_spec(scale: str = "l", fusion: str = "fourier", nc: int = 6,
             L((9, 19), 1, "Add", (1,)),      # 22 P5
         ]
         layers += _head(p3=20, p4=21, p5=22, base=23)
+    elif fusion == "mamba":
+        # gpt4 grammar with Mamba SSM fusion in place of attention (the
+        # reference ships Mamba unwired; BASELINE names a yolov5x+mamba
+        # variant) — cross-modal state-space fusion at all four levels
+        base = two_stream_spec(scale, "gpt4", nc, anchors)
+        layers = [LayerDef(l.f, l.n, "MambaFusion" if l.name == "GPT"
+                           else l.name, l.args) for l in base.layers]
     else:
         raise ValueError(f"unknown fusion {fusion!r}")
 
@@ -216,7 +223,7 @@ def _named(name: str) -> ModelSpec:
     fusion = {"fuse3": "fourier", "fuse3_fourier": "fourier",
               "fourier": "fourier", "gpt4": "gpt4", "transformer": "gpt4",
               "gpt3": "gpt3", "transformerx3": "gpt3", "add": "add",
-              "gpt1": "gpt1"}[parts[1]]
+              "gpt1": "gpt1", "mamba": "mamba"}[parts[1]]
     return two_stream_spec(scale, fusion)
 
 

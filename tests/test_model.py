@@ -123,3 +123,13 @@ def test_yaml_compat_loader():
     v = model.init(jax.random.PRNGKey(0), rgb, ir)
     out = model.apply(v, rgb, ir)
     assert out["pred"].shape[0] == 1
+
+
+def test_mamba_fusion_model():
+    spec = get_model_spec("yolov5s_mamba", nc=2)
+    model = TwoStreamDetector(spec=spec, aux_mode="off")
+    rgb = jnp.zeros((1, 64, 64, 3))
+    ir = jnp.zeros((1, 64, 64, 3))
+    v = model.init(jax.random.PRNGKey(0), rgb, ir)
+    out = model.apply(v, rgb, ir)
+    assert out["pred"].shape == (1, 252, 7)
