@@ -38,6 +38,7 @@ class TwoStreamDetector(nn.Module):
     spec: ModelSpec
     use_cem: bool = True
     aux_mode: str = "reference"      # 'reference' | 'full' | 'off'
+    fused: bool = False              # BN folded into convs (deploy mode)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -56,7 +57,7 @@ class TwoStreamDetector(nn.Module):
         x: Any = rgb.astype(dt)
         x2 = None if ir is None else ir.astype(dt)
         if self.use_cem:
-            x = ContourEnhance(rgb.shape[-1], dtype=dt,
+            x = ContourEnhance(rgb.shape[-1], fused=self.fused, dtype=dt,
                                name="enhance")(x, train)
 
         y: dict[int, Any] = {}
@@ -80,7 +81,7 @@ class TwoStreamDetector(nn.Module):
                 inp = get(rl.f)
 
             if m in _SIMPLE:
-                x = _SIMPLE[m](rl, dt, name)(inp, train)
+                x = _SIMPLE[m](rl, dt, name, self.fused)(inp, train)
             elif m == "Concat":
                 x = jnp.concatenate(inp, axis=-1)
             elif m == "Add":
@@ -150,38 +151,39 @@ class TwoStreamDetector(nn.Module):
 
 
 def _simple(builder):
-    """Wrap a (rl, dtype, name) -> module factory into x,train calling."""
-    def make(rl, dt, name):
-        mod = builder(rl, dt, name)
+    """Wrap a (rl, dtype, name, fused) -> module factory into x,train
+    calling."""
+    def make(rl, dt, name, fused):
+        mod = builder(rl, dt, name, fused)
         return lambda x, train: mod(x, train)
     return make
 
 
 _SIMPLE = {
-    "Conv": _simple(lambda rl, dt, name: L.ConvBnAct(
+    "Conv": _simple(lambda rl, dt, name, fused: L.ConvBnAct(
+        rl.args[0], *rl.args[1:], fused=fused, dtype=dt, name=name)),
+    "Focus": _simple(lambda rl, dt, name, fused: L.Focus(
+        rl.args[0], *rl.args[1:], fused=fused, dtype=dt, name=name)),
+    "Bottleneck": _simple(lambda rl, dt, name, fused: L.Bottleneck(
+        rl.args[0], *rl.args[1:], fused=fused, dtype=dt, name=name)),
+    "BottleneckCSP": _simple(lambda rl, dt, name, fused: L.BottleneckCSP(
+        rl.args[0], *rl.args[1:], fused=fused, dtype=dt, name=name)),
+    "C3": _simple(lambda rl, dt, name, fused: L.C3(
+        rl.args[0], *rl.args[1:], fused=fused, dtype=dt, name=name)),
+    "C3TR": _simple(lambda rl, dt, name, fused: L.C3TR(
+        rl.args[0], *rl.args[1:], fused=fused, dtype=dt, name=name)),
+    "SPP": _simple(lambda rl, dt, name, fused: L.SPP(
+        rl.args[0], *rl.args[1:], fused=fused, dtype=dt, name=name)),
+    "SPPF": _simple(lambda rl, dt, name, fused: L.SPPF(
+        rl.args[0], *rl.args[1:], fused=fused, dtype=dt, name=name)),
+    "DWConv": _simple(lambda rl, dt, name, fused: L.DWConv(
+        rl.args[0], *rl.args[1:], fused=fused, dtype=dt, name=name)),
+    "GhostConv": _simple(lambda rl, dt, name, fused: L.GhostConv(
+        rl.args[0], *rl.args[1:], fused=fused, dtype=dt, name=name)),
+    "GhostBottleneck": _simple(lambda rl, dt, name, fused: L.GhostBottleneck(
+        rl.args[0], *rl.args[1:], fused=fused, dtype=dt, name=name)),
+    "MixConv2d": _simple(lambda rl, dt, name, fused: L.MixConv2d(
         rl.args[0], *rl.args[1:], dtype=dt, name=name)),
-    "Focus": _simple(lambda rl, dt, name: L.Focus(
-        rl.args[0], *rl.args[1:], dtype=dt, name=name)),
-    "Bottleneck": _simple(lambda rl, dt, name: L.Bottleneck(
-        rl.args[0], *rl.args[1:], dtype=dt, name=name)),
-    "BottleneckCSP": _simple(lambda rl, dt, name: L.BottleneckCSP(
-        rl.args[0], *rl.args[1:], dtype=dt, name=name)),
-    "C3": _simple(lambda rl, dt, name: L.C3(
-        rl.args[0], *rl.args[1:], dtype=dt, name=name)),
-    "C3TR": _simple(lambda rl, dt, name: L.C3TR(
-        rl.args[0], *rl.args[1:], dtype=dt, name=name)),
-    "SPP": _simple(lambda rl, dt, name: L.SPP(
-        rl.args[0], *rl.args[1:], dtype=dt, name=name)),
-    "SPPF": _simple(lambda rl, dt, name: L.SPPF(
-        rl.args[0], *rl.args[1:], dtype=dt, name=name)),
-    "DWConv": _simple(lambda rl, dt, name: L.DWConv(
-        rl.args[0], *rl.args[1:], dtype=dt, name=name)),
-    "GhostConv": _simple(lambda rl, dt, name: L.GhostConv(
-        rl.args[0], *rl.args[1:], dtype=dt, name=name)),
-    "GhostBottleneck": _simple(lambda rl, dt, name: L.GhostBottleneck(
-        rl.args[0], *rl.args[1:], dtype=dt, name=name)),
-    "MixConv2d": _simple(lambda rl, dt, name: L.MixConv2d(
-        rl.args[0], *rl.args[1:], dtype=dt, name=name)),
-    "CrossConv": _simple(lambda rl, dt, name: L.CrossConv(
+    "CrossConv": _simple(lambda rl, dt, name, fused: L.CrossConv(
         rl.args[0], *rl.args[1:], dtype=dt, name=name)),
 }

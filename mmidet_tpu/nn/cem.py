@@ -103,25 +103,31 @@ class EnhanceConv(nn.Module):
 
 class ContourEnhance(nn.Module):
     """CEM: expand x8 -> edge bank -> add -> reduce -> residual.
-    Ref: AdaptiveModule3, common.py:751-803 (conv/bn/leaky-relu 0.1)."""
+    Ref: AdaptiveModule3, common.py:751-803 (conv/bn/leaky-relu 0.1).
+    ``fused=True``: BN folded into conv kernel+bias (deploy mode)."""
     channels: int = 3
+    fused: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = self.channels
-        y = nn.Conv(c * 8, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
-                    kernel_init=conv_kernel_init, dtype=self.dtype,
-                    name="conv2")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=self.dtype, name="bn2")(y)
+        y = nn.Conv(c * 8, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=self.fused, kernel_init=conv_kernel_init,
+                    dtype=self.dtype, name="conv2")(x)
+        if not self.fused:
+            y = nn.BatchNorm(use_running_average=not train,
+                             momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                             dtype=self.dtype, name="bn2")(y)
         y = jax.nn.leaky_relu(y, 0.1)
         e = EnhanceConv(c * 8, dtype=self.dtype, name="sobel")(y)
         y = y + e
-        y = nn.Conv(c, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
-                    kernel_init=conv_kernel_init, dtype=self.dtype,
-                    name="conv3")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=self.dtype, name="bn3")(y)
+        y = nn.Conv(c, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=self.fused, kernel_init=conv_kernel_init,
+                    dtype=self.dtype, name="conv3")(y)
+        if not self.fused:
+            y = nn.BatchNorm(use_running_average=not train,
+                             momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                             dtype=self.dtype, name="bn3")(y)
         y = jax.nn.leaky_relu(y, 0.1)
         return y + x

@@ -57,13 +57,19 @@ def act_fn(name: str | None) -> Callable[[jnp.ndarray], jnp.ndarray]:
 
 
 class ConvBnAct(nn.Module):
-    """Conv2d(bias=False) + BatchNorm + activation. Ref: common.py:108 (Conv)."""
+    """Conv2d(bias=False) + BatchNorm + activation. Ref: common.py:108 (Conv).
+
+    ``fused=True`` is the inference deploy mode: BN is folded into the conv
+    kernel + bias (reference ``fuse_conv_and_bn`` / ``fuseforward``,
+    utils/torch_utils.py:181, common.py:124) — params produced by
+    ``mmidet_tpu.nn.fuse.fold_batchnorm``."""
     features: int
     kernel: int = 1
     stride: int = 1
     padding: int | None = None
     groups: int = 1
     act: str | None = "silu"
+    fused: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -72,11 +78,14 @@ class ConvBnAct(nn.Module):
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride),
                     padding=[(p, p), (p, p)],
-                    feature_group_count=self.groups, use_bias=False,
+                    feature_group_count=self.groups,
+                    use_bias=self.fused,
                     kernel_init=conv_kernel_init,
                     dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=self.dtype, name="bn")(x)
+        if not self.fused:
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=BN_MOMENTUM,
+                             epsilon=BN_EPS, dtype=self.dtype, name="bn")(x)
         return act_fn(self.act)(x)
 
 
@@ -86,13 +95,14 @@ class DWConv(nn.Module):
     kernel: int = 1
     stride: int = 1
     act: str | None = "silu"
+    fused: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         g = math.gcd(x.shape[-1], self.features)
         return ConvBnAct(self.features, self.kernel, self.stride, groups=g,
-                         act=self.act, dtype=self.dtype, name="conv")(x, train)
+                         act=self.act, fused=self.fused, dtype=self.dtype, name="conv")(x, train)
 
 
 class Focus(nn.Module):
@@ -113,6 +123,7 @@ class Focus(nn.Module):
     kernel: int = 1
     stride: int = 1
     act: str | None = "silu"
+    fused: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -149,9 +160,14 @@ class Focus(nn.Module):
             padding=[(2 * p, 2 * p), (2 * p, 2 * p)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=self.dtype)
-        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=self.dtype,
-                         name="conv_bn")(y)
+        if self.fused:
+            bias = self.param("conv_bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        else:
+            y = nn.BatchNorm(use_running_average=not train,
+                             momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                             dtype=self.dtype, name="conv_bn")(y)
         return act_fn(self.act)(y)
 
 
@@ -161,14 +177,15 @@ class Bottleneck(nn.Module):
     shortcut: bool = True
     groups: int = 1
     expansion: float = 0.5
+    fused: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.features * self.expansion)
-        y = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y = ConvBnAct(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="cv1")(x, train)
         y = ConvBnAct(self.features, 3, 1, groups=self.groups,
-                      dtype=self.dtype, name="cv2")(y, train)
+                      fused=self.fused, dtype=self.dtype, name="cv2")(y, train)
         if self.shortcut and x.shape[-1] == self.features:
             return x + y
         return y
@@ -181,18 +198,19 @@ class C3(nn.Module):
     shortcut: bool = True
     groups: int = 1
     expansion: float = 0.5
+    fused: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.features * self.expansion)
-        y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y1 = ConvBnAct(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="cv1")(x, train)
         for i in range(self.n):
             y1 = Bottleneck(c_, self.shortcut, self.groups, 1.0,
-                            dtype=self.dtype, name=f"m{i}")(y1, train)
-        y2 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+                            fused=self.fused, dtype=self.dtype, name=f"m{i}")(y1, train)
+        y2 = ConvBnAct(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="cv2")(x, train)
         y = jnp.concatenate([y1, y2], axis=-1)
-        return ConvBnAct(self.features, 1, 1, dtype=self.dtype,
+        return ConvBnAct(self.features, 1, 1, fused=self.fused, dtype=self.dtype,
                          name="cv3")(y, train)
 
 
@@ -246,17 +264,18 @@ class C3TR(nn.Module):
     shortcut: bool = True
     groups: int = 1
     expansion: float = 0.5
+    fused: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.features * self.expansion)
-        y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y1 = ConvBnAct(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="cv1")(x, train)
         y1 = VitTransformerBlock(c_, 4, self.n, dtype=self.dtype,
                                  name="m")(y1, train)
-        y2 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        y2 = ConvBnAct(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="cv2")(x, train)
         y = jnp.concatenate([y1, y2], axis=-1)
-        return ConvBnAct(self.features, 1, 1, dtype=self.dtype,
+        return ConvBnAct(self.features, 1, 1, fused=self.fused, dtype=self.dtype,
                          name="cv3")(y, train)
 
 
@@ -267,15 +286,16 @@ class BottleneckCSP(nn.Module):
     shortcut: bool = True
     groups: int = 1
     expansion: float = 0.5
+    fused: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.features * self.expansion)
-        y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y1 = ConvBnAct(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="cv1")(x, train)
         for i in range(self.n):
             y1 = Bottleneck(c_, self.shortcut, self.groups, 1.0,
-                            dtype=self.dtype, name=f"m{i}")(y1, train)
+                            fused=self.fused, dtype=self.dtype, name=f"m{i}")(y1, train)
         y1 = nn.Conv(c_, (1, 1), use_bias=False, kernel_init=conv_kernel_init,
                      dtype=self.dtype, name="cv3")(y1)
         y2 = nn.Conv(c_, (1, 1), use_bias=False, kernel_init=conv_kernel_init,
@@ -300,15 +320,16 @@ class SPP(nn.Module):
     """Spatial pyramid pooling. Ref: common.py:681."""
     features: int
     kernels: Sequence[int] = (5, 9, 13)
+    fused: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = x.shape[-1] // 2
-        x = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        x = ConvBnAct(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="cv1")(x, train)
         ys = [x] + [_max_pool_same(x, k) for k in self.kernels]
         y = jnp.concatenate(ys, axis=-1)
-        return ConvBnAct(self.features, 1, 1, dtype=self.dtype,
+        return ConvBnAct(self.features, 1, 1, fused=self.fused, dtype=self.dtype,
                          name="cv2")(y, train)
 
 
@@ -316,17 +337,18 @@ class SPPF(nn.Module):
     """SPP-Fast: 3 chained pools == SPP(5,9,13). Ref: common.py:662."""
     features: int
     kernel: int = 5
+    fused: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = x.shape[-1] // 2
-        x = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        x = ConvBnAct(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="cv1")(x, train)
         y1 = _max_pool_same(x, self.kernel)
         y2 = _max_pool_same(y1, self.kernel)
         y3 = _max_pool_same(y2, self.kernel)
         y = jnp.concatenate([x, y1, y2, y3], axis=-1)
-        return ConvBnAct(self.features, 1, 1, dtype=self.dtype,
+        return ConvBnAct(self.features, 1, 1, fused=self.fused, dtype=self.dtype,
                          name="cv2")(y, train)
 
 
@@ -379,12 +401,13 @@ class CrossConv(nn.Module):
     groups: int = 1
     expansion: float = 1.0
     shortcut: bool = False
+    fused: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.features * self.expansion)
-        y = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y = ConvBnAct(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="cv1")(x, train)
         # asymmetric kernels: (1,k) stride (1,s) then (k,1) stride (s,1)
         p = autopad(self.kernel)
         y = nn.Conv(c_, (1, self.kernel), strides=(1, self.stride),
@@ -413,15 +436,16 @@ class GhostConv(nn.Module):
     kernel: int = 1
     stride: int = 1
     act: str | None = "silu"
+    fused: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = self.features // 2
         y = ConvBnAct(c_, self.kernel, self.stride, act=self.act,
-                      dtype=self.dtype, name="cv1")(x, train)
+                      fused=self.fused, dtype=self.dtype, name="cv1")(x, train)
         y2 = ConvBnAct(c_, 5, 1, groups=c_, act=self.act,
-                       dtype=self.dtype, name="cv2")(y, train)
+                       fused=self.fused, dtype=self.dtype, name="cv2")(y, train)
         return jnp.concatenate([y, y2], axis=-1)
 
 
@@ -430,22 +454,23 @@ class GhostBottleneck(nn.Module):
     features: int
     kernel: int = 3
     stride: int = 1
+    fused: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = self.features // 2
-        y = GhostConv(c_, 1, 1, dtype=self.dtype, name="conv1")(x, train)
+        y = GhostConv(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="conv1")(x, train)
         if self.stride == 2:
             y = DWConv(c_, self.kernel, self.stride, act=None,
-                       dtype=self.dtype, name="dw")(y, train)
+                       fused=self.fused, dtype=self.dtype, name="dw")(y, train)
         y = GhostConv(self.features, 1, 1, act=None,
-                      dtype=self.dtype, name="conv2")(y, train)
+                      fused=self.fused, dtype=self.dtype, name="conv2")(y, train)
         if self.stride == 2:
             sc = DWConv(x.shape[-1], self.kernel, self.stride, act=None,
-                        dtype=self.dtype, name="sc_dw")(x, train)
+                        fused=self.fused, dtype=self.dtype, name="sc_dw")(x, train)
             sc = ConvBnAct(self.features, 1, 1, act=None,
-                           dtype=self.dtype, name="sc_pw")(sc, train)
+                           fused=self.fused, dtype=self.dtype, name="sc_pw")(sc, train)
         else:
             sc = x if x.shape[-1] == self.features else None
             if sc is None:
