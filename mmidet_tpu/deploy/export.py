@@ -37,7 +37,7 @@ def export_stablehlo(model, variables, img_size: int = 640,
     shape = (batch_size, img_size, img_size, 3)
     args = (jax.ShapeDtypeStruct(shape, dtype),) * (2 if two_stream else 1)
     exported = jexport.export(jax.jit(fwd))(*args)
-    return exported.serialize()
+    return bytes(exported.serialize())
 
 
 def load_stablehlo(blob: bytes):
