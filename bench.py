@@ -26,35 +26,44 @@ def main():
     from mmidet_tpu.models.zoo import two_stream_spec
     from mmidet_tpu.ops.nms import non_max_suppression
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     img = 640
     spec = two_stream_spec("s", "gpt4", nc=6)
-    model = TwoStreamDetector(spec=spec, aux_mode="off", dtype=jnp.bfloat16)
-
+    # deploy configuration: bf16, BN folded into convs (fuse_conv_and_bn
+    # parity), batch sized to saturate the chip
+    from mmidet_tpu.nn.fuse import fold_batchnorm
+    base = TwoStreamDetector(spec=spec, aux_mode="off", dtype=jnp.bfloat16)
+    model = TwoStreamDetector(spec=spec, aux_mode="off", fused=True,
+                              dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
-    rgb = jax.random.uniform(rng, (batch, img, img, 3), jnp.float32)
-    ir = jax.random.uniform(rng, (batch, img, img, 3), jnp.float32)
+    rgb = jax.random.uniform(rng, (batch, img, img, 3), jnp.bfloat16)
+    ir = jax.random.uniform(rng, (batch, img, img, 3), jnp.bfloat16)
     # init at 64px (params are resolution-independent) to keep the init
     # trace/compile cheap; apply at full 640px
     small = jnp.zeros((1, 64, 64, 3), jnp.float32)
-    variables = model.init({"params": jax.random.PRNGKey(0)}, small, small,
-                           train=False)
+    variables = fold_batchnorm(base.init(
+        {"params": jax.random.PRNGKey(0)}, small, small, train=False))
+
+    # timing via an on-device scan loop: per-call dispatch + host sync over
+    # the tunnel would otherwise dominate (measured ~2.4 ms/op overhead)
+    iters = 10
 
     @jax.jit
-    def fwd(rgb, ir):
-        return model.apply(variables, rgb, ir, train=False)["pred"]
+    def loop(r, i):
+        def body(c, _):
+            p = model.apply(variables, r + c, i, train=False)["pred"]
+            return jnp.sum(p).astype(jnp.bfloat16) * 1e-9, None
+        c, _ = jax.lax.scan(body, jnp.bfloat16(0.0), None, length=iters)
+        return c
 
-    # compile + warmup
-    pred = fwd(rgb, ir)
-    jax.block_until_ready(pred)
-
-    iters = 20
+    import numpy as np
+    float(np.asarray(loop(rgb, ir)))  # compile + warmup
     t0 = time.perf_counter()
-    for _ in range(iters):
-        pred = fwd(rgb, ir)
-    jax.block_until_ready(pred)
+    float(np.asarray(loop(rgb, ir)))
     dt = time.perf_counter() - t0
     img_s = batch * iters / dt
+    pred = jax.jit(lambda r, i: model.apply(
+        variables, r, i, train=False)["pred"])(rgb, ir)
 
     # NMS timing (reported separately, as the reference does)
     nms = jax.jit(lambda p: non_max_suppression(p.astype(jnp.float32),

@@ -327,3 +327,112 @@ def make_batch_augment(s: int, hyp: AugmentHyp, max_labels: int,
               keys)
             return {"rgb": rgb, "ir": ir, "targets": lab, "mask": m}
     return fn
+
+
+# ---------------------------------------------------------------------------
+# additional single-stream augmentations (reference datasets.py:1607-2322)
+# ---------------------------------------------------------------------------
+
+def mixup(img1, labels1, mask1, img2, labels2, mask2, key):
+    """Beta(8,8) image mixup; labels concatenate. Ref: datasets.py mixup."""
+    r = jax.random.beta(key, 8.0, 8.0)
+    img = img1 * r + img2 * (1.0 - r)
+    labels = jnp.concatenate([labels1, labels2], axis=0)
+    mask = jnp.concatenate([mask1, mask2], axis=0)
+    return img, labels, mask
+
+
+def cutout(img, key, fill_low: float = 64 / 255, fill_high: float = 191 / 255):
+    """Random occlusion squares at the reference's scale schedule
+    (one 1/2-scale, two 1/4, four 1/8...). Ref: datasets.py cutout."""
+    h, w = img.shape[:2]
+    scales = [0.5] + [0.25] * 2 + [0.125] * 4 + [0.0625] * 8
+    keys = jax.random.split(key, len(scales) * 3)
+    ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    out = img
+    for i, s in enumerate(scales):
+        kh, kw, kf = keys[3 * i], keys[3 * i + 1], keys[3 * i + 2]
+        mh = int(h * s)
+        mw = int(w * s)
+        cy = jax.random.randint(kh, (), 0, h)
+        cx = jax.random.randint(kw, (), 0, w)
+        box = ((ys >= cy - mh // 2) & (ys < cy + mh // 2)
+               & (xs >= cx - mw // 2) & (xs < cx + mw // 2))
+        fill = jax.random.uniform(kf, (3,), minval=fill_low,
+                                  maxval=fill_high)
+        out = jnp.where(box[..., None], fill, out)
+    return out
+
+
+def hist_equalize(img):
+    """Per-image value-channel histogram equalization (float variant of the
+    reference's CLAHE/equalizeHist path, datasets.py hist_equalize)."""
+    hsv = rgb_to_hsv(img)
+    v = hsv[..., 2]
+    flat = v.reshape(-1)
+    idx = jnp.clip((flat * 255).astype(jnp.int32), 0, 255)
+    hist = jnp.zeros((256,)).at[idx].add(1.0)
+    cdf = jnp.cumsum(hist)
+    cdf = (cdf - cdf[0]) / jnp.maximum(cdf[-1] - cdf[0], 1e-6)
+    v_eq = cdf[idx].reshape(v.shape)
+    return hsv_to_rgb(jnp.stack([hsv[..., 0], hsv[..., 1], v_eq], axis=-1))
+
+
+def mosaic9(tiles: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray,
+            key: jax.Array, s: int, fill: float = 114.0 / 255.0):
+    """9-image mosaic (3x3 grid with jittered center crop).
+    Ref: datasets.py load_mosaic9 — fixed-shape variant: 3x3 tiling of
+    letterboxed tiles, then a random s-crop.
+
+    tiles: (9, s, s, C); labels (9, T, 5) normalized; mask (9, T).
+    Returns (canvas (s,s,C), boxes_xyxy, cls, mask) in crop coordinates."""
+    canvas = jnp.concatenate(
+        [jnp.concatenate([tiles[r * 3 + c] for c in range(3)], axis=1)
+         for r in range(3)], axis=0)  # (3s, 3s, C)
+    off = jax.random.randint(key, (2,), 0, 2 * s)  # crop origin
+    crop = jax.lax.dynamic_slice(canvas, (off[0], off[1], 0),
+                                 (s, s, canvas.shape[-1]))
+    boxes, cls, m = [], [], []
+    for i in range(9):
+        r, c = divmod(i, 3)
+        lab = labels[i]
+        cx = lab[:, 1] * s + c * s - off[1]
+        cy = lab[:, 2] * s + r * s - off[0]
+        w = lab[:, 3] * s
+        h = lab[:, 4] * s
+        boxes.append(jnp.stack([cx - w / 2, cy - h / 2,
+                                cx + w / 2, cy + h / 2], axis=-1))
+        cls.append(lab[:, 0])
+        m.append(mask[i])
+    b = jnp.concatenate(boxes)
+    m = jnp.concatenate(m)
+    clipped = jnp.clip(b, 0, s)
+    wh_ok = ((clipped[:, 2] - clipped[:, 0]) > 2) & \
+        ((clipped[:, 3] - clipped[:, 1]) > 2)
+    return crop, clipped, jnp.concatenate(cls), m & wh_ok
+
+
+def replicate_labels(img, boxes_xyxy, cls, mask, key):
+    """Replicate the smallest-half boxes into random free corners
+    (ref datasets.py replicate) — fixed-count variant copying up to 4."""
+    h, w = img.shape[:2]
+    area = (boxes_xyxy[:, 2] - boxes_xyxy[:, 0]) * \
+        (boxes_xyxy[:, 3] - boxes_xyxy[:, 1])
+    order = jnp.argsort(jnp.where(mask, area, jnp.inf))
+    out_img = img
+    new_boxes, new_cls, new_mask = [], [], []
+    keys = jax.random.split(key, 4)
+    for i in range(4):
+        src = order[i]
+        bw = boxes_xyxy[src, 2] - boxes_xyxy[src, 0]
+        bh = boxes_xyxy[src, 3] - boxes_xyxy[src, 1]
+        k1, k2 = jax.random.split(keys[i])
+        x0 = jax.random.uniform(k1) * (w - bw)
+        y0 = jax.random.uniform(k2) * (h - bh)
+        nb = jnp.stack([x0, y0, x0 + bw, y0 + bh])
+        new_boxes.append(nb)
+        new_cls.append(cls[src])
+        new_mask.append(mask[src])
+    return out_img, (jnp.concatenate([boxes_xyxy, jnp.stack(new_boxes)]),
+                     jnp.concatenate([cls, jnp.stack(new_cls)]),
+                     jnp.concatenate([mask, jnp.stack(new_mask)]))

@@ -78,6 +78,17 @@ def qfocal_modulation(logits, targets, loss, gamma: float = 1.5,
     return loss * alpha_f * jnp.power(jnp.abs(targets - p), gamma)
 
 
+def bce_blur_with_logits(logits, targets, alpha: float = 0.05,
+                         pos_weight: float = 1.0):
+    """BCE with reduced missing-label effects. Ref: BCEBlurWithLogitsLoss
+    (loss.py:15-29)."""
+    loss = bce_with_logits(logits, targets, pos_weight)
+    p = jax.nn.sigmoid(logits)
+    dx = p - targets
+    alpha_factor = 1.0 - jnp.exp((dx - 1.0) / (alpha + 1e-4))
+    return jnp.mean(loss * alpha_factor)
+
+
 def build_candidates(targets: jnp.ndarray, mask: jnp.ndarray,
                      anchors_l: jnp.ndarray, ny: int, nx: int,
                      anchor_t: float):
