@@ -59,6 +59,8 @@ def build_parser():
     p.add_argument("--task", type=str, default="val",
                    choices=["val", "test", "speed", "study"])
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--save-json", type=str, default="",
+                   help="dump COCO-format detections to this path")
     return p
 
 
@@ -76,7 +78,8 @@ def main(argv=None):
                               drop_last=False)
         res = evaluate(model, variables, loader, nc,
                        conf_thres=args.conf_thres, iou_thres=args.iou_thres,
-                       names=names, verbose=True)
+                       names=names, verbose=True,
+                       save_json=args.save_json or None)
         print(json.dumps({"P": res.mp, "R": res.mr, "mAP50": res.map50,
                           "mAP75": res.map75, "mAP": res.map,
                           "speed_ms": res.speed_ms[0]}))

@@ -175,3 +175,13 @@ def load_data_yaml(path: str) -> dict:
         if k not in d:
             raise KeyError(f"dataset yaml missing {k}")
     return d
+
+
+class SingleStreamDataset(PairedDataset):
+    """Single-modality detection dataset (reference LoadImagesAndLabels,
+    datasets.py:738-1064) — runs through the paired machinery with the one
+    modality supplied twice, so every loader/augment path is shared."""
+
+    def __init__(self, path: str, nc: int | None = None,
+                 cache_dir: str | None = None):
+        super().__init__(path, path, nc=nc, cache_dir=cache_dir)

@@ -46,7 +46,8 @@ def collate_paired(samples: list[dict], img_size: int = 640,
             mask[i, :n] = True
         shapes.append((s["shape"], (r, (dw, dh))))
     return {"rgb": rgb, "ir": ir, "targets": targets, "mask": mask,
-            "shapes": shapes}
+            "shapes": shapes,
+            "files": [s.get("rgb_file", "") for s in samples]}
 
 
 def collate_mosaic_pool(samples4: list[list[dict]], img_size: int,

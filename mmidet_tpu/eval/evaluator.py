@@ -49,8 +49,12 @@ def _scale_boxes(boxes: np.ndarray, ratio_pad, orig_shape) -> np.ndarray:
 def evaluate(model, variables, loader, nc: int,
              conf_thres: float = 0.001, iou_thres: float = 0.6,
              max_det: int = 300, names=None, two_stream: bool = True,
-             verbose: bool = False) -> EvalResults:
+             verbose: bool = False, save_json: str | None = None
+             ) -> EvalResults:
+    """``save_json``: optional path for COCO-format detection dump
+    (ref test.py --save-json)."""
     iouv = np.linspace(0.5, 0.95, 10)
+    json_records = []
 
     @jax.jit
     def infer(rgb, ir):
@@ -98,7 +102,23 @@ def evaluate(model, variables, loader, nc: int,
             stats.append((correct, d[:, 4] if len(d) else np.zeros(0),
                           d[:, 5] if len(d) else np.zeros(0),
                           l_xyxy[:, 0]))
+            if save_json is not None:
+                import os
+                files = batch.get("files")
+                image_id = os.path.splitext(os.path.basename(
+                    files[si]))[0] if files else si
+                for x1, y1, x2, y2, conf, cls in d:
+                    json_records.append({
+                        "image_id": image_id,
+                        "category_id": int(cls),
+                        "bbox": [float(x1), float(y1),
+                                 float(x2 - x1), float(y2 - y1)],
+                        "score": float(conf)})
 
+    if save_json is not None:
+        import json as _json
+        with open(save_json, "w") as fh:
+            _json.dump(json_records, fh)
     stats = [np.concatenate(x, 0) for x in zip(*stats)]
     per_class = {}
     if len(stats) and stats[0].any():

@@ -195,7 +195,7 @@ def train(cfg: TrainConfig) -> dict:
         for batch in loader:
             rng, k_aug, k_step = jax.random.split(rng, 3)
             jb = {k: jnp.asarray(v) for k, v in batch.items()
-                  if k != "shapes"}
+                  if k not in ("shapes", "files")}
             for im_key in ("rgb", "ir", "rgb4", "ir4"):
                 if im_key in jb:
                     jb[im_key] = jb[im_key].astype(jnp.float32) / 255.0
