@@ -66,6 +66,8 @@ class TrainConfig:
     seed: int = 0
     resume: str = ""                        # checkpoint dir to resume from
     optimizer_groups: str = "fixed"         # 'fixed' | 'reference'
+    autoanchor: bool = True                 # BPR check + kmeans refit
+    use_wandb: bool = False
 
 
 DEFAULT_HYP = {
@@ -118,11 +120,28 @@ def train(cfg: TrainConfig) -> dict:
 
     spec = _spec_from_cfg(cfg, nc)
     dtype = getattr(jnp, cfg.dtype)
-    model = TwoStreamDetector(spec=spec, use_cem=cfg.use_cem,
-                              aux_mode=cfg.aux_mode, dtype=dtype)
 
     train_ds = PairedDataset(data["train_rgb"], data["train_ir"], nc=nc,
                              cache_dir=workdir)
+
+    # pre-training anchor fit check (reference train.py:678-679)
+    if cfg.autoanchor:
+        from mmidet_tpu.utils.autoanchor import check_anchors
+        import dataclasses as _dc
+        shapes = [train_ds[i]["shape"] for i in
+                  range(min(len(train_ds), 512))]
+        labels = train_ds.labels[:len(shapes)]
+        new_anchors = check_anchors(labels, shapes,
+                                    np.asarray(spec.anchors, np.float64),
+                                    spec.strides, img_size)
+        flat = tuple(tuple(int(round(v)) for v in lvl.reshape(-1))
+                     for lvl in new_anchors)
+        if flat != spec.anchors:
+            logger.info("autoanchor updated anchors: %s", flat)
+            spec = _dc.replace(spec, anchors=flat)
+
+    model = TwoStreamDetector(spec=spec, use_cem=cfg.use_cem,
+                              aux_mode=cfg.aux_mode, dtype=dtype)
     val_ds = PairedDataset(data["val_rgb"], data["val_ir"], nc=nc,
                            cache_dir=workdir)
     use_mosaic = hyp.get("mosaic", 1.0) > 0 and cfg.mosaic_prob > 0
@@ -183,6 +202,15 @@ def train(cfg: TrainConfig) -> dict:
 
     rng = jax.random.PRNGKey(cfg.seed + 1)
     results_path = os.path.join(workdir, "results.txt")
+    from mmidet_tpu.utils.logger import MetricLogger
+    mlog = MetricLogger(workdir, use_wandb=cfg.use_wandb,
+                        run_name=os.path.basename(workdir),
+                        config=dataclasses.asdict(cfg))
+    try:
+        from mmidet_tpu.utils.plots import plot_labels
+        plot_labels(train_ds.labels, nc, workdir)
+    except Exception:
+        pass
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     logger.info("model %s: %.2fM params, %d classes, %d train imgs, "
                 "%d epochs x %d steps", cfg.model, n_params / 1e6, nc,
@@ -226,12 +254,23 @@ def train(cfg: TrainConfig) -> dict:
                     f"box {mloss[0]:.4f} obj {mloss[1]:.4f} "
                     f"cls {mloss[2]:.4f} P {res.mp:.4f} R {res.mr:.4f} "
                     f"mAP50 {res.map50:.4f} mAP {res.map:.4f}\n")
+            mlog.log_metrics(epoch, {
+                "train/box": mloss[0], "train/obj": mloss[1],
+                "train/cls": mloss[2], "val/P": res.mp, "val/R": res.mr,
+                "val/mAP50": res.map50, "val/mAP": res.map,
+                "fitness": fit})
             logger.info(
                 "epoch %d/%d loss(box/obj/cls) %.4f/%.4f/%.4f "
                 "mAP50 %.4f mAP %.4f fit %.4f (%.1fs)", epoch,
                 cfg.epochs - 1, *mloss, res.map50, res.map, fit,
                 time.time() - t0)
 
+    mlog.close()
+    try:
+        from mmidet_tpu.utils.plots import plot_results
+        plot_results(results_path)
+    except Exception:
+        pass
     deploy = strip_for_deploy(state)
     return {"workdir": workdir, "best_fitness": best_fit,
             "deploy": deploy, "state": state,

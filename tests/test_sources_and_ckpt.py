@@ -1,0 +1,78 @@
+"""Inference sources + checkpoint round-trip tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+
+def test_load_images(tmp_path):
+    from PIL import Image
+    from mmidet_tpu.data.sources import LoadImages
+    for i in range(3):
+        Image.fromarray(np.full((48, 64, 3), i * 40, np.uint8)).save(
+            tmp_path / f"im{i}.png")
+    src = LoadImages(str(tmp_path), img_size=32)
+    items = list(src)
+    assert len(items) == 3
+    path, lb, im0, (r, pad) = items[0]
+    assert lb.shape == (32, 32, 3)
+    assert im0.shape == (48, 64, 3)
+    assert 0 < r <= 1
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from mmidet_tpu.losses.detection import LossHyp
+    from mmidet_tpu.models.detector import TwoStreamDetector
+    from mmidet_tpu.models.zoo import two_stream_spec
+    from mmidet_tpu.train.checkpoint import (restore_checkpoint,
+                                             save_checkpoint,
+                                             strip_for_deploy)
+    from mmidet_tpu.train.optimizer import build_optimizer
+    from mmidet_tpu.train.schedule import ScheduleConfig
+    from mmidet_tpu.train.step import init_state, make_train_step
+
+    spec = two_stream_spec("s", "add", nc=2)
+    model = TwoStreamDetector(spec=spec, aux_mode="off")
+    small = jnp.zeros((1, 32, 32, 3))
+    v = model.init({"params": jax.random.PRNGKey(0)}, small, small,
+                   train=False)
+    sched = ScheduleConfig(epochs=1, steps_per_epoch=1)
+    tx, _ = build_optimizer(v["params"], sched, 5e-4, total_batch_size=2)
+    state = init_state(model, tx, jax.random.PRNGKey(0), small, small)
+
+    anchors = jnp.asarray(
+        np.asarray(spec.anchors, np.float32).reshape(3, 3, 2)
+        / np.asarray(spec.strides, np.float32)[:, None, None])
+    step = jax.jit(make_train_step(model, tx, anchors, LossHyp()))
+    targets = jnp.zeros((2, 4, 5))
+    targets = targets.at[:, 0].set(jnp.asarray([1, 0.5, 0.5, 0.2, 0.2]))
+    mask = jnp.zeros((2, 4), bool).at[:, 0].set(True)
+    batch = {"rgb": jnp.ones((2, 32, 32, 3)) * 0.4,
+             "ir": jnp.ones((2, 32, 32, 3)) * 0.6,
+             "targets": targets, "mask": mask}
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, state, 0, metadata={"epoch": 0,
+                                              "best_fitness": 0.25})
+    template = init_state(model, tx, jax.random.PRNGKey(42), small, small)
+    restored, step_no, meta = restore_checkpoint(ckpt, template)
+    assert step_no == 0
+    assert meta["best_fitness"] == 0.25
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # EMA restored too
+    for a, b in zip(jax.tree_util.tree_leaves(state.ema["params"]),
+                    jax.tree_util.tree_leaves(restored.ema["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    deploy = strip_for_deploy(restored)
+    out = model.apply({"params": deploy["params"],
+                       "batch_stats": deploy["batch_stats"]},
+                      batch["rgb"], batch["ir"], train=False)
+    assert np.isfinite(np.asarray(out["pred"])).all()
