@@ -1,0 +1,97 @@
+"""ctypes bindings for the native C++ batched decode+letterbox loader
+(``native/fastloader.cpp``) with a transparent PIL fallback.
+
+Role in the stack: replaces the reference's DataLoader worker-process pool
+(cv2 decode in ``utils/datasets.py``) with a GIL-free std::thread pool — one
+C call decodes and letterboxes a whole batch into a preallocated buffer.
+
+Throughput note: scaling is linear in host cores (the dev sandbox has a
+single core, where this matches PIL; real v5e hosts have >100 cores, which
+is what the 2000 img/s end-to-end input path needs).  The resize is
+cv2-style non-antialiased half-pixel bilinear — closer to the reference's
+cv2.INTER_LINEAR than the PIL fallback is.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _lib_path() -> str:
+    return os.path.join(os.path.dirname(__file__), "..", "..", "native",
+                        "libfastloader.so")
+
+
+def load_library(build_if_missing: bool = True):
+    """Load (building on first use if needed) the shared library; returns
+    None when unavailable — callers fall back to PIL."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    path = os.path.abspath(_lib_path())
+    if not os.path.isfile(path) and build_if_missing:
+        script = os.path.join(os.path.dirname(path), "build.sh")
+        if os.path.isfile(script):
+            try:
+                subprocess.run(["sh", script], check=True,
+                               capture_output=True, timeout=120)
+            except Exception:
+                return None
+    if not os.path.isfile(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    lib.fl_batch_decode.restype = ctypes.c_int
+    lib.fl_batch_decode.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+    lib.fl_decode.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.fl_decode.argtypes = [ctypes.c_char_p,
+                              ctypes.POINTER(ctypes.c_int),
+                              ctypes.POINTER(ctypes.c_int)]
+    lib.fl_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return load_library() is not None
+
+
+def batch_decode_letterbox(paths: list[str], img_size: int,
+                           n_threads: int = 0):
+    """Decode + letterbox a batch natively.
+
+    Returns (images (N, S, S, 3) uint8, meta (N, 3) float32 [r, dw, dh]).
+    Falls back to PIL per-image when the library is unavailable."""
+    lib = load_library()
+    n = len(paths)
+    out = np.empty((n, img_size, img_size, 3), np.uint8)
+    meta = np.empty((n, 3), np.float32)
+    if lib is not None:
+        arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+        lib.fl_batch_decode(
+            arr, n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), img_size,
+            meta.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_threads)
+        return out, meta
+    # PIL fallback
+    from PIL import Image
+    from mmidet_tpu.data.datasets import letterbox_np
+    for i, p in enumerate(paths):
+        im0 = np.asarray(Image.open(p).convert("RGB"))
+        lb, r, (dw, dh) = letterbox_np(im0, (img_size, img_size))
+        out[i] = lb
+        meta[i] = (r, dw, dh)
+    return out, meta
