@@ -5,11 +5,9 @@ from __future__ import annotations
 
 import argparse
 import json
-import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from mmidet_tpu.data.datasets import PairedDataset, load_data_yaml
 from mmidet_tpu.data.loader import PairedLoader

@@ -144,6 +144,7 @@ class PairedLoader:
         if use_native is None:
             use_native = _native.available()
         self.use_native = use_native
+        self.image_weights = None  # optional (N,) sampling weights
         self.ds = dataset
         self.batch_size = batch_size
         self.img_size = img_size
@@ -159,10 +160,19 @@ class PairedLoader:
         return n // self.batch_size if self.drop_last else \
             (n + self.batch_size - 1) // self.batch_size
 
+    def set_image_weights(self, weights):
+        """Per-image sampling weights (reference --image-weights,
+        train.py:715-727): next epoch resamples indices ~ weights."""
+        w = np.asarray(weights, np.float64)
+        self.image_weights = w / w.sum()
+
     def _indices(self):
+        rng = np.random.default_rng(self.seed + self.epoch)
+        if self.image_weights is not None:
+            return rng.choice(len(self.ds), size=len(self.ds),
+                              p=self.image_weights)
         idx = np.arange(len(self.ds))
         if self.shuffle:
-            rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
         return idx
 

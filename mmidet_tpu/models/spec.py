@@ -23,8 +23,6 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Any, Sequence
-
 SECOND_INPUT = -4  # sentinel: layer consumes the second (IR) input image
 
 

@@ -20,7 +20,6 @@ no-decay group.
 from __future__ import annotations
 
 import flax
-import jax.numpy as jnp
 import optax
 
 from mmidet_tpu.train.schedule import (ScheduleConfig, lr_schedule,
