@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval-every", type=int, default=1)
     p.add_argument("--optimizer-groups", type=str, default="fixed",
                    choices=["fixed", "reference"])
+    p.add_argument("--evolve", type=int, default=0, metavar="GENERATIONS",
+                   help="run hyperparameter evolution for N generations "
+                        "(reference train.py --evolve, 300 generations)")
     return p
 
 
@@ -52,6 +55,22 @@ def main(argv=None):
         use_cem=not args.no_cem, aux_mode=args.aux_mode, dtype=args.dtype,
         seed=args.seed, eval_every=args.eval_every,
         optimizer_groups=args.optimizer_groups)
+    if args.evolve:
+        from mmidet_tpu.train.evolve import evolve
+        from mmidet_tpu.train.trainer import load_hyp
+
+        def train_fn(hyp):
+            import dataclasses
+            c = dataclasses.replace(cfg, hyp=hyp,
+                                    workdir=cfg.workdir + "_gen")
+            return train(c)["best_fitness"]
+
+        best_fit, best_hyp = evolve(train_fn, load_hyp(cfg.hyp),
+                                    generations=args.evolve,
+                                    workdir=cfg.workdir + "_evolve")
+        print(f"evolve done: best fitness {best_fit:.4f}")
+        return {"best_fitness": best_fit, "hyp": best_hyp}
+
     out = train(cfg)
     print(f"done: best fitness {out['best_fitness']:.4f} "
           f"-> {out['workdir']}")

@@ -32,10 +32,14 @@ class ScheduleConfig:
     epochs: int = 100
     steps_per_epoch: int = 100
     linear_lr: bool = False
+    # the reference floors warmup at 1000 iterations (train.py:758) — on
+    # small datasets that can swallow the whole run; configurable here
+    warmup_floor: int = 1000
 
     @property
     def warmup_steps(self) -> int:
-        return max(round(self.warmup_epochs * self.steps_per_epoch), 1000)
+        return max(round(self.warmup_epochs * self.steps_per_epoch),
+                   self.warmup_floor, 1)
 
 
 def _lf(cfg: ScheduleConfig, epoch):

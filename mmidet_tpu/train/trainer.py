@@ -68,6 +68,7 @@ class TrainConfig:
     optimizer_groups: str = "fixed"         # 'fixed' | 'reference'
     autoanchor: bool = True                 # BPR check + kmeans refit
     use_wandb: bool = False
+    warmup_floor: int = 1000                # reference's warmup iter floor
 
 
 DEFAULT_HYP = {
@@ -169,7 +170,8 @@ def train(cfg: TrainConfig) -> dict:
         warmup_epochs=hyp["warmup_epochs"],
         warmup_momentum=hyp["warmup_momentum"],
         warmup_bias_lr=hyp["warmup_bias_lr"], epochs=cfg.epochs,
-        steps_per_epoch=steps_per_epoch, linear_lr=cfg.linear_lr)
+        steps_per_epoch=steps_per_epoch, linear_lr=cfg.linear_lr,
+        warmup_floor=cfg.warmup_floor)
     loss_hyp = LossHyp(
         box=hyp["box"], cls=hyp["cls"], cls_pw=hyp["cls_pw"],
         obj=hyp["obj"], obj_pw=hyp["obj_pw"], anchor_t=hyp["anchor_t"],
