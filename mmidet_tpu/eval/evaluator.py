@@ -18,6 +18,24 @@ import numpy as np
 from mmidet_tpu.eval.metrics import ap_per_class, match_predictions
 from mmidet_tpu.ops.nms import non_max_suppression
 
+# persistent jit cache: defining the jitted infer inside evaluate() would
+# re-trace and re-compile on every call (every eval epoch)
+_INFER_CACHE: dict = {}
+
+
+def _get_infer(model, conf_thres, iou_thres, max_det, two_stream):
+    key = (id(model), conf_thres, iou_thres, max_det, two_stream)
+    if key not in _INFER_CACHE:
+        @jax.jit
+        def infer(variables, rgb, ir):
+            out = model.apply(variables, rgb, ir, train=False) \
+                if two_stream else model.apply(variables, rgb, train=False)
+            return non_max_suppression(
+                out["pred"].astype(jnp.float32), conf_thres=conf_thres,
+                iou_thres=iou_thres, max_det=max_det, multi_label=True)
+        _INFER_CACHE[key] = infer
+    return _INFER_CACHE[key]
+
 
 @dataclasses.dataclass
 class EvalResults:
@@ -55,15 +73,10 @@ def evaluate(model, variables, loader, nc: int,
     (ref test.py --save-json)."""
     iouv = np.linspace(0.5, 0.95, 10)
     json_records = []
+    infer_fn = _get_infer(model, conf_thres, iou_thres, max_det, two_stream)
 
-    @jax.jit
     def infer(rgb, ir):
-        out = model.apply(variables, rgb, ir, train=False) if two_stream \
-            else model.apply(variables, rgb, train=False)
-        dets, valid = non_max_suppression(
-            out["pred"].astype(jnp.float32), conf_thres=conf_thres,
-            iou_thres=iou_thres, max_det=max_det, multi_label=True)
-        return dets, valid
+        return infer_fn(variables, rgb, ir)
 
     stats = []
     t_inf = t_nms = 0.0
