@@ -12,6 +12,7 @@ reference also reports inference/NMS split, test.py:261-263).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -46,7 +47,7 @@ def main():
 
     # timing via an on-device scan loop: per-call dispatch + host sync over
     # the tunnel would otherwise dominate (measured ~2.4 ms/op overhead)
-    iters = 10
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
 
     @jax.jit
     def loop(r, i):
@@ -65,20 +66,24 @@ def main():
     pred = jax.jit(lambda r, i: model.apply(
         variables, r, i, train=False)["pred"])(rgb, ir)
 
-    # NMS timing (reported separately, as the reference does)
-    nms = jax.jit(lambda p: non_max_suppression(p.astype(jnp.float32),
-                                                0.25, 0.45))
-    d, v = nms(pred)
-    jax.block_until_ready(d)
-    t0 = time.perf_counter()
-    for _ in range(5):
+    # NMS timing (reported separately, as the reference does) — optional:
+    # it costs a second large compile over the tunnel
+    nms_ms = -1.0
+    if os.environ.get("BENCH_NMS", "0") == "1":
+        import numpy as np
+        nms = jax.jit(lambda p: non_max_suppression(p.astype(jnp.float32),
+                                                    0.25, 0.45))
         d, v = nms(pred)
-    jax.block_until_ready(d)
-    nms_ms = (time.perf_counter() - t0) / 5 / batch * 1e3
+        np.asarray(d)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            d, v = nms(pred)
+        np.asarray(d)
+        nms_ms = (time.perf_counter() - t0) / 5 / batch * 1e3
 
-    print(f"inference: {1e3 / img_s:.2f} ms/img, nms: {nms_ms:.2f} ms/img, "
-          f"batch={batch}, device={jax.devices()[0].device_kind}",
-          file=sys.stderr)
+    print(f"inference: {1e3 / img_s:.2f} ms/img, nms: {nms_ms:.2f} ms/img "
+          f"(-1 = skipped), batch={batch}, "
+          f"device={jax.devices()[0].device_kind}", file=sys.stderr)
     print(json.dumps({
         "metric": "yolov5s_twostream_640_paired_inference",
         "value": round(img_s, 1),
