@@ -24,7 +24,11 @@ _INFER_CACHE: dict = {}
 
 
 def _get_infer(model, conf_thres, iou_thres, max_det, two_stream):
-    key = (id(model), conf_thres, iou_thres, max_det, two_stream)
+    try:
+        key = (model, conf_thres, iou_thres, max_det, two_stream)
+        hash(key)
+    except TypeError:
+        key = (id(model), conf_thres, iou_thres, max_det, two_stream)
     if key not in _INFER_CACHE:
         @jax.jit
         def infer(variables, rgb, ir):
