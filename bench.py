@@ -50,7 +50,7 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "8"))
 
     @jax.jit
-    def loop(r, i):
+    def loop(variables, r, i):
         def body(c, _):
             p = model.apply(variables, r + c, i, train=False)["pred"]
             return jnp.sum(p).astype(jnp.bfloat16) * 1e-9, None
@@ -58,13 +58,13 @@ def main():
         return c
 
     import numpy as np
-    float(np.asarray(loop(rgb, ir)))  # compile + warmup
+    float(np.asarray(loop(variables, rgb, ir)))  # compile + warmup
     t0 = time.perf_counter()
-    float(np.asarray(loop(rgb, ir)))
+    float(np.asarray(loop(variables, rgb, ir)))
     dt = time.perf_counter() - t0
     img_s = batch * iters / dt
-    pred = jax.jit(lambda r, i: model.apply(
-        variables, r, i, train=False)["pred"])(rgb, ir)
+    pred = jax.jit(lambda v, r, i: model.apply(
+        v, r, i, train=False)["pred"])(variables, rgb, ir)
 
     # NMS timing (reported separately, as the reference does) — optional:
     # it costs a second large compile over the tunnel

@@ -54,11 +54,14 @@ def main(argv=None):
     s = args.img_size
 
     @jax.jit
-    def infer(rgb, ir):
+    def _infer(variables, rgb, ir):
         out = model.apply(variables, rgb, ir, train=False)
         return non_max_suppression(out["pred"].astype(jnp.float32),
                                    conf_thres=args.conf_thres,
                                    iou_thres=args.iou_thres)
+
+    def infer(rgb, ir):
+        return _infer(variables, rgb, ir)
 
     times = []
     for rf, irf in zip(rgb_files, ir_files):

@@ -31,12 +31,12 @@ class DetectionService:
         self.img_size = img_size
 
         @jax.jit
-        def infer(rgb, ir):
+        def infer(variables, rgb, ir):
             out = model.apply(variables, rgb, ir, train=False)
             return non_max_suppression(out["pred"].astype(jnp.float32),
                                        conf_thres=conf_thres,
                                        iou_thres=iou_thres)
-        self._infer = infer
+        self._infer = lambda rgb, ir: infer(self.variables, rgb, ir)
 
     def predict(self, rgb_bytes: bytes, ir_bytes: bytes) -> list[dict]:
         from PIL import Image

@@ -79,12 +79,12 @@ class AutoShapeModel:
         self.two_stream = two_stream
 
         @jax.jit
-        def infer(*imgs):
+        def infer(variables, *imgs):
             out = model.apply(variables, *imgs, train=False)
             return non_max_suppression(out["pred"].astype(jnp.float32),
                                        conf_thres=self.conf,
                                        iou_thres=self.iou)
-        self._infer = infer
+        self._infer = lambda *imgs: infer(self.variables, *imgs)
 
     @staticmethod
     def _to_numpy(im):
