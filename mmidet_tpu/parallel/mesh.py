@@ -68,3 +68,34 @@ def shard_pytree_like(tree, template_shardings, mesh: Mesh):
     needed."""
     rep = replicated(mesh)
     return jax.tree_util.tree_map(lambda _: rep, tree)
+
+
+def shard_inference(model, variables, mesh: Mesh, two_stream: bool = True,
+                    decode: bool = True):
+    """Build a data-parallel jitted inference fn over the mesh: batch shards
+    over 'data', params replicate (TP optional via param_shardings).
+
+    The multi-chip serving path: on a v5e-8, per-chip throughput scales
+    linearly since there is no cross-chip communication in the forward pass.
+    Returns fn(rgb, ir) -> pred.
+    """
+    import jax
+    bsh = batch_sharding(mesh)
+    rep = replicated(mesh)
+    variables = jax.device_put(variables, rep)
+
+    @jax.jit
+    def fwd(variables, rgb, ir=None):
+        args = (rgb, ir) if two_stream else (rgb,)
+        out = model.apply(variables, *args, train=False, decode=decode)
+        return out["pred"] if decode else out["train_outs"]
+
+    def run(rgb, ir=None):
+        rgb = jax.device_put(rgb, bsh)
+        args = [variables, rgb]
+        if two_stream:
+            args.append(jax.device_put(ir, bsh))
+        with mesh:
+            return fwd(*args)
+
+    return run

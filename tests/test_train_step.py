@@ -113,3 +113,15 @@ def test_sharded_train_step_cpu_mesh():
     sharded = [s for s in jax.tree_util.tree_leaves(psh)
                if s.spec != P()]
     assert sharded, "expected tensor-parallel sharded kernels"
+
+
+def test_shard_inference_data_parallel():
+    from mmidet_tpu.parallel.mesh import make_mesh, shard_inference
+    mesh = make_mesh(n_data=8, n_model=1)
+    model, batch = _setup(batch=8)
+    v = model.init({"params": jax.random.PRNGKey(0)}, batch["rgb"],
+                   batch["ir"], train=False)
+    run = shard_inference(model, v, mesh)
+    pred = run(batch["rgb"], batch["ir"])
+    assert pred.shape[0] == 8
+    assert np.isfinite(np.asarray(pred)).all()
