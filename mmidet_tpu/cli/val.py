@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from mmidet_tpu.data.datasets import PairedDataset, load_data_yaml
-from mmidet_tpu.data.loader import PairedLoader
+from mmidet_tpu.data.loader import PairedLoader, RectLoader
 from mmidet_tpu.eval.evaluator import evaluate
 from mmidet_tpu.models.detector import TwoStreamDetector
 from mmidet_tpu.models.spec import load_yolo_yaml
@@ -59,6 +59,9 @@ def build_parser():
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--save-json", type=str, default="",
                    help="dump COCO-format detections to this path")
+    p.add_argument("--rect", action="store_true",
+                   help="aspect-bucketed rectangular eval (reference "
+                        "rect=True pad=0.5)")
     return p
 
 
@@ -72,8 +75,9 @@ def main(argv=None):
     ds = PairedDataset(data["val_rgb"], data["val_ir"], nc=nc)
 
     if args.task in ("val", "test"):
-        loader = PairedLoader(ds, args.batch_size, args.img_size,
-                              drop_last=False)
+        loader = RectLoader(ds, args.batch_size, args.img_size) \
+            if args.rect else PairedLoader(ds, args.batch_size,
+                                           args.img_size, drop_last=False)
         res = evaluate(model, variables, loader, nc,
                        conf_thres=args.conf_thres, iou_thres=args.iou_thres,
                        names=names, verbose=True,

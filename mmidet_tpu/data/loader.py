@@ -19,18 +19,20 @@ from mmidet_tpu.data.datasets import PairedDataset, letterbox_np
 
 
 def collate_paired(samples: list[dict], img_size: int = 640,
-                   max_labels: int = 120) -> dict:
+                   max_labels: int = 120, shape_hw=None) -> dict:
     """Letterbox both modalities identically; scale labels to the padded
-    frame; pad to (B, max_labels, 5) + mask."""
+    frame; pad to (B, max_labels, 5) + mask.  ``shape_hw`` overrides the
+    square target with a rectangular (h, w) batch shape (rect mode)."""
     bsz = len(samples)
-    rgb = np.empty((bsz, img_size, img_size, 3), np.uint8)
-    ir = np.empty((bsz, img_size, img_size, 3), np.uint8)
+    th, tw = shape_hw if shape_hw is not None else (img_size, img_size)
+    rgb = np.empty((bsz, th, tw, 3), np.uint8)
+    ir = np.empty((bsz, th, tw, 3), np.uint8)
     targets = np.zeros((bsz, max_labels, 5), np.float32)
     mask = np.zeros((bsz, max_labels), bool)
     shapes = []
     for i, s in enumerate(samples):
-        out_r, r, (dw, dh) = letterbox_np(s["rgb"], (img_size, img_size))
-        out_i, _, _ = letterbox_np(s["ir"], (img_size, img_size))
+        out_r, r, (dw, dh) = letterbox_np(s["rgb"], (th, tw))
+        out_i, _, _ = letterbox_np(s["ir"], (th, tw))
         rgb[i], ir[i] = out_r, out_i
         lab = s["labels"]
         h0, w0 = s["shape"]
@@ -38,10 +40,10 @@ def collate_paired(samples: list[dict], img_size: int = 640,
         if n:
             l = lab[:n].copy()
             # normalized in original frame -> normalized in padded frame
-            l[:, 1] = (l[:, 1] * w0 * r + dw) / img_size
-            l[:, 2] = (l[:, 2] * h0 * r + dh) / img_size
-            l[:, 3] = l[:, 3] * w0 * r / img_size
-            l[:, 4] = l[:, 4] * h0 * r / img_size
+            l[:, 1] = (l[:, 1] * w0 * r + dw) / tw
+            l[:, 2] = (l[:, 2] * h0 * r + dh) / th
+            l[:, 3] = l[:, 3] * w0 * r / tw
+            l[:, 4] = l[:, 4] * h0 * r / th
             targets[i, :n] = l
             mask[i, :n] = True
         shapes.append((s["shape"], (r, (dw, dh))))
@@ -125,6 +127,55 @@ class MosaicLoader:
             if item is None:
                 return
             yield item
+
+
+class RectLoader:
+    """Aspect-bucketed evaluation loader (reference ``rect=True, pad=0.5``,
+    datasets.py:1160-1190): images sorted by aspect ratio; each batch gets a
+    stride-aligned rectangular shape covering its members, minimizing pad
+    pixels.  Produces a handful of distinct static shapes (one XLA compile
+    per shape)."""
+
+    def __init__(self, dataset: PairedDataset, batch_size: int,
+                 img_size: int = 640, max_labels: int = 120,
+                 stride: int = 32, pad: float = 0.5):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.img_size = img_size
+        self.max_labels = max_labels
+        from PIL import Image
+        ars = []
+        for p in dataset.rgb_files:
+            with Image.open(p) as im:
+                w, h = im.size
+            ars.append(h / w)
+        self.order = np.argsort(ars)
+        self.shapes = []
+        n = len(dataset)
+        nb = (n + batch_size - 1) // batch_size
+        for b in range(nb):
+            sel = self.order[b * batch_size:(b + 1) * batch_size]
+            batch_ars = [ars[i] for i in sel]
+            mi, ma = min(batch_ars), max(batch_ars)
+            shape = [1.0, 1.0]
+            if ma < 1:
+                shape = [ma, 1.0]
+            elif mi > 1:
+                shape = [1.0, 1.0 / mi]
+            th = int(np.ceil(shape[0] * img_size / stride + pad)) * stride
+            tw = int(np.ceil(shape[1] * img_size / stride + pad)) * stride
+            self.shapes.append((min(th, img_size + stride),
+                                min(tw, img_size + stride)))
+
+    def __len__(self):
+        return len(self.shapes)
+
+    def __iter__(self):
+        for b, shape_hw in enumerate(self.shapes):
+            sel = self.order[b * self.batch_size:(b + 1) * self.batch_size]
+            samples = [self.ds[int(i)] for i in sel]
+            yield collate_paired(samples, self.img_size, self.max_labels,
+                                 shape_hw=shape_hw)
 
 
 class PairedLoader:

@@ -95,7 +95,7 @@ def evaluate(model, variables, loader, nc: int,
         t_inf += time.perf_counter() - t0
         n_img += rgb.shape[0]
 
-        img_size = rgb.shape[1]
+        ih, iw = rgb.shape[1], rgb.shape[2]
         for si in range(rgb.shape[0]):
             d = dets[si][valid[si]]
             lab = batch["targets"][si][batch["mask"][si]]
@@ -104,8 +104,8 @@ def evaluate(model, variables, loader, nc: int,
             if len(lab):
                 l_xyxy = np.empty((len(lab), 5), np.float32)
                 l_xyxy[:, 0] = lab[:, 0]
-                cx, cy = lab[:, 1] * img_size, lab[:, 2] * img_size
-                w, h = lab[:, 3] * img_size, lab[:, 4] * img_size
+                cx, cy = lab[:, 1] * iw, lab[:, 2] * ih
+                w, h = lab[:, 3] * iw, lab[:, 4] * ih
                 l_xyxy[:, 1], l_xyxy[:, 2] = cx - w / 2, cy - h / 2
                 l_xyxy[:, 3], l_xyxy[:, 4] = cx + w / 2, cy + h / 2
                 l_xyxy[:, 1:] = _scale_boxes(l_xyxy[:, 1:], ratio_pad,

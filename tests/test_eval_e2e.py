@@ -126,3 +126,44 @@ def test_train_then_eval_smoke(tmp_path):
                    ev_loader, nc=2)
     assert 0.0 <= res.map50 <= 1.0
     assert res.speed_ms[0] > 0
+
+
+def test_rect_loader_and_eval(tmp_path):
+    """Rect-mode loader: aspect-bucketed rectangular shapes, full eval pass."""
+    import os
+    from PIL import Image
+    # build a paired set with mixed aspect ratios
+    rng = np.random.default_rng(0)
+    for sub in ("r/images", "i/images", "r/labels", "i/labels"):
+        os.makedirs(tmp_path / sub, exist_ok=True)
+    for k, (w, h) in enumerate([(120, 60), (60, 120), (96, 96), (128, 64)]):
+        arr = rng.integers(0, 255, (h, w, 3), np.uint8)
+        for sub in ("r", "i"):
+            Image.fromarray(arr).save(tmp_path / sub / "images" /
+                                      f"{k}.png")
+            with open(tmp_path / sub / "labels" / f"{k}.txt", "w") as fh:
+                fh.write("0 0.5 0.5 0.4 0.4\n")
+    from mmidet_tpu.data.datasets import PairedDataset
+    from mmidet_tpu.data.loader import RectLoader
+    ds = PairedDataset(str(tmp_path / "r" / "images"),
+                       str(tmp_path / "i" / "images"), nc=1,
+                       cache_dir=str(tmp_path))
+    loader = RectLoader(ds, batch_size=2, img_size=64, stride=32)
+    batches = list(loader)
+    assert len(batches) == 2
+    shapes = {b["rgb"].shape[1:3] for b in batches}
+    assert len(shapes) >= 1
+    for b in batches:
+        assert b["rgb"].shape[1] % 32 == 0 and b["rgb"].shape[2] % 32 == 0
+        lv = b["targets"][b["mask"]]
+        assert (lv[:, 1:] >= 0).all() and (lv[:, 1:] <= 1).all()
+
+    from mmidet_tpu.eval.evaluator import evaluate
+    from mmidet_tpu.models.detector import TwoStreamDetector
+    from mmidet_tpu.models.zoo import two_stream_spec
+    spec = two_stream_spec("s", "add", nc=1)
+    model = TwoStreamDetector(spec=spec, aux_mode="off")
+    small = jnp.zeros((1, 32, 32, 3))
+    v = model.init({"params": jax.random.PRNGKey(0)}, small, small)
+    res = evaluate(model, v, RectLoader(ds, 2, 64, stride=32), nc=1)
+    assert 0.0 <= res.map50 <= 1.0
