@@ -110,7 +110,9 @@ class SelfAttention(nn.Module):
         q = dense(self.d_model, name="que_proj")(x).reshape(b, n, h, dk)
         k = dense(self.d_model, name="key_proj")(x).reshape(b, n, h, dk)
         v = dense(self.d_model, name="val_proj")(x).reshape(b, n, h, dk)
-        att = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(dk)
+        # NOTE: scale by a *python* float — a numpy scalar would promote the
+        # whole (B,h,N,N) attention tensor to f32 (measured HBM-traffic hit)
+        att = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (1.0 / float(np.sqrt(dk)))
         att = jax.nn.softmax(att, axis=-1)
         att = nn.Dropout(self.attn_drop)(att, deterministic=not train)
         out = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(b, n, c)
