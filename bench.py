@@ -44,6 +44,11 @@ def main():
     small = jnp.zeros((1, 64, 64, 3), jnp.float32)
     variables = fold_batchnorm(base.init(
         {"params": jax.random.PRNGKey(0)}, small, small, train=False))
+    # deploy: cast params to bf16 (halves param HBM reads, removes the
+    # per-op f32->bf16 converts)
+    variables = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        variables)
 
     # timing via an on-device scan loop: per-call dispatch + host sync over
     # the tunnel would otherwise dominate (measured ~2.4 ms/op overhead)
