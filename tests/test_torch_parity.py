@@ -188,3 +188,79 @@ def test_converter_covers_all_reference_params(ref_model):
     missing = [k for k in ref_model.state_dict()
                if k not in covered and not any(s in k for s in skip)]
     assert not missing, f"unconverted reference keys: {missing[:10]}"
+
+
+def test_gradient_parity(ref_model):
+    """Backprop parity: d(detect-loss)/d(params) matches between frameworks
+    on identical weights and batch — validates forward, loss, and autodiff
+    end-to-end (and, by extension, training dynamics up to optimizer)."""
+    import flax
+    from mmidet_tpu.losses.detection import LossHyp, compute_loss
+    from mmidet_tpu.train.checkpoint import _torch_key, _transform
+
+    model, variables = _our_model_and_vars(ref_model)
+    rng = np.random.default_rng(7)
+    rgb = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    ir = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    t_pad = np.zeros((2, 4, 5), np.float32)
+    m_pad = np.zeros((2, 4), bool)
+    t_pad[0, 0] = [1, 0.5, 0.5, 0.4, 0.4]
+    t_pad[1, 0] = [0, 0.3, 0.6, 0.3, 0.3]
+    m_pad[0, 0] = m_pad[1, 0] = True
+    targets_ref = torch.tensor([[0, 1, 0.5, 0.5, 0.4, 0.4],
+                                [1, 0, 0.3, 0.6, 0.3, 0.3]])
+
+    # ---- torch side: detect-only loss (Flag=False), full backward ----
+    ref_model.zero_grad()
+    ref_model.train()  # build_targets needs train-mode outputs
+    # keep BN in eval so both sides use running stats
+    for m in ref_model.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.eval()
+    # disable dropout for determinism
+    for m in ref_model.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.eval()
+    ref_model.hyp = {"box": 0.05, "cls": 0.5, "cls_pw": 1.0, "obj": 1.0,
+                     "obj_pw": 1.0, "anchor_t": 4.0, "fl_gamma": 0.0}
+    ref_model.gr = 1.0
+    from utils.loss import ComputeLoss  # reference import (fixture set path)
+    loss_fn = ComputeLoss(ref_model)
+    preds, _ = ref_model(torch.from_numpy(rgb).permute(0, 3, 1, 2),
+                         torch.from_numpy(ir).permute(0, 3, 1, 2))
+    total, _ = loss_fn(preds, targets_ref, [], Flag=False)
+    total.backward()
+    t_grads = {k: p.grad.detach().numpy() for k, p in
+               ref_model.named_parameters() if p.grad is not None}
+
+    # ---- our side ----
+    anchors = jnp.asarray(
+        np.asarray(model.spec.anchors, np.float32).reshape(3, 3, 2)
+        / np.asarray(model.spec.strides, np.float32)[:, None, None])
+
+    def loss(params):
+        out = model.apply({"params": params,
+                           "batch_stats": variables["batch_stats"]},
+                          jnp.asarray(rgb), jnp.asarray(ir), train=False,
+                          decode=False)
+        return compute_loss(out["train_outs"], jnp.asarray(t_pad),
+                            jnp.asarray(m_pad), anchors, hyp=LossHyp())[0]
+
+    g = jax.grad(loss)(variables["params"])
+    flat = flax.traverse_util.flatten_dict(g)
+
+    checked = 0
+    for path, ours in flat.items():
+        key, kind = _torch_key(path, "params")
+        if key not in t_grads:
+            continue
+        want = _transform(t_grads[key], kind)
+        ours = np.asarray(ours)
+        scale = max(np.abs(want).max(), 1e-6)
+        if scale < 1e-8:
+            continue
+        np.testing.assert_allclose(ours, want, rtol=0.05,
+                                   atol=5e-3 * scale,
+                                   err_msg=f"grad mismatch at {path}")
+        checked += 1
+    assert checked > 100, f"only {checked} grads compared"
