@@ -264,3 +264,32 @@ def test_gradient_parity(ref_model):
                                    err_msg=f"grad mismatch at {path}")
         checked += 1
     assert checked > 100, f"only {checked} grads compared"
+
+
+def test_pt_checkpoint_roundtrip(ref_model, tmp_path):
+    """Reference-format .pt (pickled module dict with 'ema'/'model') loads
+    through load_torch_checkpoint + convert_torch_state_dict and reproduces
+    the reference forward — the path the released M3FD checkpoint takes."""
+    from mmidet_tpu.train.checkpoint import (convert_torch_state_dict,
+                                             load_torch_checkpoint)
+    pt = str(tmp_path / "ckpt.pt")
+    torch.save({"epoch": 42, "best_fitness": 0.5, "model": ref_model,
+                "ema": None, "updates": 0, "optimizer": None,
+                "training_results": "", "wandb_id": None}, pt)
+    sd = load_torch_checkpoint(pt, reference_repo=REF)
+    model, _ = _our_model_and_vars(ref_model)
+    x = jnp.zeros((1, 64, 64, 3))
+    template = model.init({"params": jax.random.PRNGKey(0)}, x, x,
+                          train=False)
+    variables = convert_torch_state_dict(template, sd, strict=True)
+    rng = np.random.default_rng(3)
+    rgb = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    ir = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        (t_pred, _), _ = ref_model(
+            torch.from_numpy(rgb).permute(0, 3, 1, 2),
+            torch.from_numpy(ir).permute(0, 3, 1, 2))
+    out = model.apply(variables, jnp.asarray(rgb), jnp.asarray(ir),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out["pred"]), t_pred.numpy(),
+                               rtol=1e-3, atol=2e-3)
