@@ -86,3 +86,45 @@ def labels_to_image_weights(labels: list[np.ndarray], nc: int,
         [np.bincount(l[:, 0].astype(int), minlength=nc) if len(l)
          else np.zeros(nc) for l in labels])
     return (class_weights.reshape(1, nc) * class_counts).sum(1)
+
+
+def save_one_box(xyxy, img: np.ndarray, path: str = "crop.jpg",
+                 gain: float = 1.02, pad: int = 10, square: bool = False,
+                 save: bool = True) -> np.ndarray:
+    """Crop a detection box (with margin) from an HWC image and optionally
+    save it (ref general.py save_one_box)."""
+    from PIL import Image
+    x1, y1, x2, y2 = [float(v) for v in xyxy]
+    cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+    w, h = (x2 - x1) * gain + pad, (y2 - y1) * gain + pad
+    if square:
+        w = h = max(w, h)
+    H, W = img.shape[:2]
+    xa, xb = int(max(cx - w / 2, 0)), int(min(cx + w / 2, W))
+    ya, yb = int(max(cy - h / 2, 0)), int(min(cy + h / 2, H))
+    crop = img[ya:yb, xa:xb]
+    if save and crop.size:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        Image.fromarray(crop).save(path)
+    return crop
+
+
+def apply_classifier(detections: np.ndarray, classify_fn, img: np.ndarray,
+                     img_size: int = 224) -> np.ndarray:
+    """Second-stage classifier filter: re-classify each detection crop and
+    drop detections whose classifier label disagrees (ref general.py
+    apply_classifier, generalized over any ``classify_fn(batch)->labels``)."""
+    if not len(detections):
+        return detections
+    from PIL import Image
+    crops = []
+    for *xyxy, conf, cls in detections:
+        crop = save_one_box(xyxy, img, save=False)
+        if not crop.size:
+            crop = np.zeros((8, 8, 3), np.uint8)
+        crop = np.asarray(Image.fromarray(crop).resize(
+            (img_size, img_size), Image.BILINEAR), np.float32) / 255.0
+        crops.append(crop)
+    labels = np.asarray(classify_fn(np.stack(crops)))
+    keep = labels == detections[:, 5].astype(labels.dtype)
+    return detections[keep]
