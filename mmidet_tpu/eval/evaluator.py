@@ -71,12 +71,17 @@ def _scale_boxes(boxes: np.ndarray, ratio_pad, orig_shape) -> np.ndarray:
 def evaluate(model, variables, loader, nc: int,
              conf_thres: float = 0.001, iou_thres: float = 0.6,
              max_det: int = 300, names=None, two_stream: bool = True,
-             verbose: bool = False, save_json: str | None = None
-             ) -> EvalResults:
-    """``save_json``: optional path for COCO-format detection dump
-    (ref test.py --save-json)."""
+             verbose: bool = False, save_json: str | None = None,
+             confusion_dir: str | None = None) -> EvalResults:
+    """``save_json``: optional COCO-format detection dump (ref test.py
+    --save-json).  ``confusion_dir``: write an IoU-matched confusion matrix
+    (ref test.py ConfusionMatrix + plot)."""
     iouv = np.linspace(0.5, 0.95, 10)
     json_records = []
+    cm = None
+    if confusion_dir is not None:
+        from mmidet_tpu.eval.metrics import ConfusionMatrix
+        cm = ConfusionMatrix(nc)
     infer_fn = _get_infer(model, conf_thres, iou_thres, max_det, two_stream)
 
     def infer(rgb, ir):
@@ -115,6 +120,8 @@ def evaluate(model, variables, loader, nc: int,
             if len(d):
                 d = d.copy()
                 d[:, :4] = _scale_boxes(d[:, :4], ratio_pad, orig_shape)
+            if cm is not None:
+                cm.process_batch(d, l_xyxy)
             correct = match_predictions(d, l_xyxy, iouv)
             stats.append((correct, d[:, 4] if len(d) else np.zeros(0),
                           d[:, 5] if len(d) else np.zeros(0),
@@ -136,6 +143,19 @@ def evaluate(model, variables, loader, nc: int,
         import json as _json
         with open(save_json, "w") as fh:
             _json.dump(json_records, fh)
+    if cm is not None:
+        import os
+        os.makedirs(confusion_dir, exist_ok=True)
+        np.savetxt(os.path.join(confusion_dir, "confusion_matrix.txt"),
+                   cm.matrix, fmt="%d")
+        try:
+            from mmidet_tpu.utils.plots import plot_confusion_matrix
+            plot_confusion_matrix(cm.matrix, names or
+                                  [str(i) for i in range(nc)],
+                                  os.path.join(confusion_dir,
+                                               "confusion_matrix.png"))
+        except Exception:
+            pass
     stats = [np.concatenate(x, 0) for x in zip(*stats)]
     per_class = {}
     if len(stats) and stats[0].any():

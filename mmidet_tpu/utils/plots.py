@@ -126,3 +126,69 @@ def plot_labels(labels: list[np.ndarray], nc: int, save_dir: str):
     fig.savefig(out, dpi=150)
     plt.close(fig)
     return out
+
+
+def plot_confusion_matrix(matrix: np.ndarray, names, save_path: str):
+    """Normalized confusion-matrix heatmap (ref plots via seaborn; plain
+    matplotlib here)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    arr = matrix / (matrix.sum(0, keepdims=True) + 1e-6)
+    fig, ax = plt.subplots(figsize=(8, 7), tight_layout=True)
+    im = ax.imshow(arr, cmap="Blues")
+    ticks = list(names) + ["background"]
+    ax.set_xticks(range(len(ticks)), ticks, rotation=90)
+    ax.set_yticks(range(len(ticks)), ticks)
+    ax.set_xlabel("True")
+    ax.set_ylabel("Predicted")
+    fig.colorbar(im)
+    fig.savefig(save_path, dpi=150)
+    plt.close(fig)
+    return save_path
+
+
+def plot_lr_schedule(sched, save_path: str, steps: int | None = None):
+    """LR curve over training (ref plots.py plot_lr_scheduler)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from mmidet_tpu.train.schedule import lr_schedule
+    steps = steps or sched.epochs * sched.steps_per_epoch
+    fn = lr_schedule(sched)
+    xs = np.arange(steps)
+    ys = [float(fn(x)) for x in xs[:: max(steps // 500, 1)]]
+    fig, ax = plt.subplots(figsize=(7, 4), tight_layout=True)
+    ax.plot(xs[:: max(steps // 500, 1)], ys)
+    ax.set_xlabel("step")
+    ax.set_ylabel("lr")
+    fig.savefig(save_path, dpi=150)
+    plt.close(fig)
+    return save_path
+
+
+def plot_evolve(evolve_txt: str, save_path: str | None = None):
+    """Fitness-vs-hyperparameter scatter panels (ref plots.py plot_evolution)."""
+    import json
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    rows = [json.loads(l) for l in open(evolve_txt) if l.strip()]
+    if not rows:
+        return None
+    keys = sorted(rows[0]["hyp"].keys())[:25]
+    fit = np.asarray([r["fitness"] for r in rows])
+    n = len(keys)
+    cols = 5
+    rws = (n + cols - 1) // cols
+    fig, axes = plt.subplots(rws, cols, figsize=(3 * cols, 2.4 * rws),
+                             tight_layout=True)
+    for i, k in enumerate(keys):
+        ax = axes.flat[i]
+        xs = [r["hyp"][k] for r in rows]
+        ax.scatter(xs, fit, s=8, alpha=0.6)
+        ax.set_title(k, fontsize=8)
+    save_path = save_path or evolve_txt.replace(".txt", ".png")
+    fig.savefig(save_path, dpi=120)
+    plt.close(fig)
+    return save_path

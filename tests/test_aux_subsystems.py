@@ -150,3 +150,53 @@ def test_model_cost_analysis():
     v = model.init({"params": jax.random.PRNGKey(0)}, x, x, train=False)
     cost = model_cost(model, v, x, x, train=False)
     assert cost["gflops"] > 0 and cost["params_m"] > 1
+
+
+def test_model_summary():
+    from mmidet_tpu.models.summary import summarize
+    from mmidet_tpu.models.zoo import two_stream_spec
+    spec = two_stream_spec("l", "fourier", nc=6)
+    out = summarize(spec, 640)
+    lines = out.splitlines()
+    assert len(lines) == 52  # header + 50 layers + footer
+    assert "GPT1_fourier" in out and "Detect" in out
+    assert "layers: 50" in lines[-1]
+
+
+def test_confusion_matrix_in_eval(tmp_path):
+    import jax.numpy as jnp
+    from mmidet_tpu.data.datasets import PairedDataset, load_data_yaml
+    from mmidet_tpu.data.loader import PairedLoader
+    from mmidet_tpu.data.synthetic import make_synthetic_pair_dataset
+    from mmidet_tpu.eval.evaluator import evaluate
+    from mmidet_tpu.models.detector import TwoStreamDetector
+    from mmidet_tpu.models.zoo import two_stream_spec
+    yml = make_synthetic_pair_dataset(str(tmp_path), n=4, img=96)
+    d = load_data_yaml(yml)
+    ds = PairedDataset(d["train_rgb"], d["train_ir"], nc=2,
+                       cache_dir=str(tmp_path))
+    spec = two_stream_spec("s", "add", nc=2)
+    model = TwoStreamDetector(spec=spec, aux_mode="off")
+    small = jnp.zeros((1, 32, 32, 3))
+    v = model.init({"params": jax.random.PRNGKey(0)}, small, small)
+    res = evaluate(model, v, PairedLoader(ds, 2, 64, drop_last=False), nc=2,
+                   confusion_dir=str(tmp_path / "cm"))
+    assert (tmp_path / "cm" / "confusion_matrix.txt").exists()
+
+
+def test_plot_lr_and_evolve(tmp_path):
+    import json
+    from mmidet_tpu.train.schedule import ScheduleConfig
+    from mmidet_tpu.utils.plots import plot_evolve, plot_lr_schedule
+    p = plot_lr_schedule(ScheduleConfig(epochs=5, steps_per_epoch=10,
+                                        warmup_floor=5),
+                         str(tmp_path / "lr.png"))
+    assert os.path.isfile(p)
+    ev = tmp_path / "evolve.txt"
+    with open(ev, "w") as fh:
+        for g in range(4):
+            fh.write(json.dumps({"gen": g, "fitness": 0.1 * g,
+                                 "hyp": {"lr0": 0.01 + g * 1e-3,
+                                         "momentum": 0.9}}) + "\n")
+    p2 = plot_evolve(str(ev))
+    assert os.path.isfile(p2)
