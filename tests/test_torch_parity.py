@@ -232,6 +232,7 @@ def test_gradient_parity(ref_model):
     total.backward()
     t_grads = {k: p.grad.detach().numpy() for k, p in
                ref_model.named_parameters() if p.grad is not None}
+    ref_model.eval()  # restore for other tests sharing the fixture
 
     # ---- our side ----
     anchors = jnp.asarray(
@@ -272,6 +273,7 @@ def test_pt_checkpoint_roundtrip(ref_model, tmp_path):
     the reference forward — the path the released M3FD checkpoint takes."""
     from mmidet_tpu.train.checkpoint import (convert_torch_state_dict,
                                              load_torch_checkpoint)
+    ref_model.eval()  # fixture may have been left in train mode
     pt = str(tmp_path / "ckpt.pt")
     torch.save({"epoch": 42, "best_fitness": 0.5, "model": ref_model,
                 "ema": None, "updates": 0, "optimizer": None,
