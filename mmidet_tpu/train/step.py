@@ -57,24 +57,45 @@ def init_state(model, tx, rng, sample_rgb, sample_ir=None):
 
 
 def make_train_step(model, tx, anchors, hyp: LossHyp = LossHyp(),
-                    ema_decay: float = 0.9999, two_stream: bool = True):
+                    ema_decay: float = 0.9999, two_stream: bool = True,
+                    remat: str | None = None):
     """Build the jittable step fn: (state, batch, rng) -> (state, metrics).
 
     batch: dict with 'rgb' (B,H,W,3), 'ir' (B,H,W,3) [two-stream],
     'targets' (B,T,5) normalized [cls,x,y,w,h], 'mask' (B,T) bool.
+
+    ``remat``: rematerialize forward activations in the backward pass to
+    trade FLOPs for HBM (larger batches per chip).  'dots' keeps matmul/conv
+    outputs and recomputes elementwise (the usual sweet spot); 'full'
+    recomputes everything.
     """
 
-    def loss_fn(params, batch_stats, batch, rng):
+    def forward(params, batch_stats, rgb, ir, rng):
         variables = {"params": params, "batch_stats": batch_stats}
-        args = (batch["rgb"], batch["ir"]) if two_stream else (batch["rgb"],)
+        args = (rgb, ir) if two_stream else (rgb,)
         out, mutated = model.apply(
             variables, *args, train=True, decode=False,
             rngs={"dropout": rng}, mutable=["batch_stats"])
-        combine = out["aux"].get("combine")
+        return (tuple(out["train_outs"]), out["aux"].get("combine"),
+                mutated["batch_stats"])
+
+    if remat:
+        policy = {
+            "dots": jax.checkpoint_policies.checkpoint_dots,
+            "full": None,  # save nothing (jax default policy)
+        }[remat]
+        forward = jax.checkpoint(
+            forward, policy=policy,
+            static_argnums=()) if policy else jax.checkpoint(forward)
+
+    def loss_fn(params, batch_stats, batch, rng):
+        train_outs, combine, new_bs = forward(
+            params, batch_stats, batch["rgb"],
+            batch["ir"] if two_stream else None, rng)
         total, metrics = compute_loss(
-            out["train_outs"], batch["targets"], batch["mask"], anchors,
+            train_outs, batch["targets"], batch["mask"], anchors,
             hyp=hyp, combine_loss=combine)
-        return total, (metrics, mutated["batch_stats"])
+        return total, (metrics, new_bs)
 
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)

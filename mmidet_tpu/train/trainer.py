@@ -69,6 +69,7 @@ class TrainConfig:
     autoanchor: bool = True                 # BPR check + kmeans refit
     use_wandb: bool = False
     warmup_floor: int = 1000                # reference's warmup iter floor
+    remat: str = ""                         # '' | 'dots' | 'full' (jax.checkpoint)
 
 
 DEFAULT_HYP = {
@@ -188,7 +189,8 @@ def train(cfg: TrainConfig) -> dict:
     state = init_state(model, tx, jax.random.PRNGKey(cfg.seed), small, small)
     anchors = _anchors_grid(spec)
     step_fn = jax.jit(make_train_step(model, tx, anchors, loss_hyp,
-                                      ema_decay=cfg.ema_decay))
+                                      ema_decay=cfg.ema_decay,
+                                      remat=cfg.remat or None))
 
     start_epoch, best_fit = 0, -1.0
     ckpt_dir = os.path.join(workdir, "ckpt")

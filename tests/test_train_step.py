@@ -125,3 +125,27 @@ def test_shard_inference_data_parallel():
     pred = run(batch["rgb"], batch["ir"])
     assert pred.shape[0] == 8
     assert np.isfinite(np.asarray(pred)).all()
+
+
+def test_remat_train_step_matches():
+    """remat='dots' must produce the same loss/gradients as the plain step
+    (it only changes what is cached for backward)."""
+    from mmidet_tpu.losses.detection import LossHyp
+    from mmidet_tpu.train.optimizer import build_optimizer
+    from mmidet_tpu.train.schedule import ScheduleConfig
+    from mmidet_tpu.train.step import init_state, make_train_step
+    model, batch = _setup()
+    sched = ScheduleConfig(epochs=2, steps_per_epoch=2)
+    v = model.init({"params": jax.random.PRNGKey(0)}, batch["rgb"],
+                   batch["ir"], train=False)
+    tx, _ = build_optimizer(v["params"], sched, 5e-4, total_batch_size=2)
+    anchors = _anchors(model.spec)
+    s0 = init_state(model, tx, jax.random.PRNGKey(0), batch["rgb"],
+                    batch["ir"])
+    step_plain = jax.jit(make_train_step(model, tx, anchors, LossHyp()))
+    step_remat = jax.jit(make_train_step(model, tx, anchors, LossHyp(),
+                                         remat="dots"))
+    _, m0 = step_plain(s0, batch, jax.random.PRNGKey(1))
+    _, m1 = step_remat(s0, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m0["total"]), float(m1["total"]),
+                               rtol=1e-5)
