@@ -220,6 +220,7 @@ def train(cfg: TrainConfig) -> dict:
                 "%d epochs x %d steps", cfg.model, n_params / 1e6, nc,
                 len(train_ds), cfg.epochs, steps_per_epoch)
 
+    plotted_batches = 0
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
         mloss = np.zeros(3)
@@ -232,6 +233,18 @@ def train(cfg: TrainConfig) -> dict:
                 if im_key in jb:
                     jb[im_key] = jb[im_key].astype(jnp.float32) / 255.0
             jb = augment(jb, k_aug)
+            if plotted_batches < 3:  # first train batches w/ boxes
+                try:                 # (ref train.py:816-817, plots.py:128)
+                    from mmidet_tpu.utils.plots import plot_images
+                    plot_images(np.asarray(jb["rgb"]),
+                                np.asarray(jb["targets"]),
+                                np.asarray(jb["mask"]),
+                                os.path.join(workdir,
+                                             f"train_batch{plotted_batches}.jpg"),
+                                names=names)
+                except Exception:
+                    pass
+                plotted_batches += 1
             state, metrics = step_fn(state, jb, k_step)
             mloss += np.asarray([float(metrics["box"]),
                                  float(metrics["obj"]),
