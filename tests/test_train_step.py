@@ -149,3 +149,17 @@ def test_remat_train_step_matches():
     _, m1 = step_remat(s0, batch, jax.random.PRNGKey(1))
     np.testing.assert_allclose(float(m0["total"]), float(m1["total"]),
                                rtol=1e-5)
+
+
+def test_shard_inference_matches_single_device():
+    """dp-sharded forward must produce the same predictions as unsharded."""
+    from mmidet_tpu.parallel.mesh import make_mesh, shard_inference
+    mesh = make_mesh(n_data=4, n_model=1)
+    model, batch = _setup(batch=4)
+    v = model.init({"params": jax.random.PRNGKey(0)}, batch["rgb"],
+                   batch["ir"], train=False)
+    want = model.apply(v, batch["rgb"], batch["ir"], train=False)["pred"]
+    run = shard_inference(model, v, mesh)
+    got = run(batch["rgb"], batch["ir"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
