@@ -35,7 +35,7 @@ def main():
     from mmidet_tpu.nn.fuse import fold_batchnorm
     base = TwoStreamDetector(spec=spec, aux_mode="off", dtype=jnp.bfloat16)
     model = TwoStreamDetector(spec=spec, aux_mode="off", fused=True,
-                              dtype=jnp.bfloat16)
+                              pallas_fusion=True, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     rgb = jax.random.uniform(rng, (batch, img, img, 3), jnp.bfloat16)
     ir = jax.random.uniform(rng, (batch, img, img, 3), jnp.bfloat16)

@@ -39,6 +39,7 @@ class TwoStreamDetector(nn.Module):
     use_cem: bool = True
     aux_mode: str = "reference"      # 'reference' | 'full' | 'off'
     fused: bool = False              # BN folded into convs (deploy mode)
+    pallas_fusion: bool = False      # fused Pallas token-transformer kernel
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -95,8 +96,9 @@ class TwoStreamDetector(nn.Module):
             elif m == "Expand":
                 x = L.expand(inp, rl.args[0])
             elif m == "GPT":
-                r, i_ = CrossModalTransformer(rl.args[0], dtype=dt,
-                                              name=name)(inp[0], inp[1], train)
+                r, i_ = CrossModalTransformer(
+                    rl.args[0], use_pallas=self.pallas_fusion, dtype=dt,
+                    name=name)(inp[0], inp[1], train)
                 x = [r, i_]
             elif m == "MambaFusion":
                 from mmidet_tpu.nn.mamba import MambaFusion
@@ -109,8 +111,8 @@ class TwoStreamDetector(nn.Module):
                 if self.aux_mode != "off":
                     aux["contrastive"] = fusion_losses.contrastive_loss(
                         f_in[0], f_in[1])
-                r, i_, pt = cls(rl.args[0], dtype=dt,
-                                name=name)(inp[0], inp[1], train)
+                r, i_, pt = cls(rl.args[0], use_pallas=self.pallas_fusion,
+                                dtype=dt, name=name)(inp[0], inp[1], train)
                 x = [r, i_]
                 if self.aux_mode != "off":
                     fused = (r + i_) / 2.0

@@ -77,28 +77,40 @@ def edge_filter_bank(out_channels: int, in_channels: int,
 
 class EnhanceConv(nn.Module):
     """Frozen edge bank x trainable per-channel scale + bias.
-    Ref: EnhanceConv2d, common.py:806-911."""
+    Ref: EnhanceConv2d, common.py:806-911.
+
+    TPU-native factorization: the reference bank carries the *same* 2D
+    kernel on every input channel of a given output channel
+    (``sobel_weight[idx, :] = ...`` sets all input channels at once,
+    common.py:840-882), and output channel ``o`` uses kernel ``o % 8``.
+    Hence ``conv(x, bank*factor)[o] = factor[o] * (sum_i x_i * w[o%8])`` —
+    a channel sum, one 1->8-channel conv with the 8 distinct kernels, and a
+    tiled per-channel scale.  Mathematically identical to the full conv
+    (72x fewer MACs: 9*8 vs 9*24*24 per pixel at c=24), and the gradient to
+    ``sobel_factor`` is identical too, so the factorization holds in
+    training as well."""
     features: int
     kernel: int = 3
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        c_in = x.shape[-1]
         factor = self.param("sobel_factor", nn.initializers.ones,
                             (self.features,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
-        bank = jnp.asarray(edge_filter_bank(self.features, c_in, self.kernel),
-                           self.dtype)
-        kernel = bank * factor.astype(self.dtype)
+        # 8 distinct direction kernels: (k,k,1,8)
+        bank8 = jnp.asarray(
+            edge_filter_bank(8, 1, self.kernel), self.dtype)
         p = self.kernel // 2
-        y = jax.lax.conv_general_dilated(
-            x, kernel, window_strides=(1, 1),
+        xsum = jnp.sum(x, axis=-1, keepdims=True)
+        g = jax.lax.conv_general_dilated(
+            xsum, bank8, window_strides=(1, 1),
             padding=[(p, p), (p, p)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=self.dtype)
-        return y + bias.astype(self.dtype)
+        y = jnp.tile(g, (1, 1, 1, self.features // 8))
+        return y * factor.astype(self.dtype) + bias.astype(self.dtype)
 
 
 class ContourEnhance(nn.Module):

@@ -145,9 +145,66 @@ class PreLNBlock(nn.Module):
         return x + y
 
 
+class _DenseP(nn.Module):
+    """Param-mirror of nn.Dense: declares the identical {kernel, bias} tree
+    and returns the values (used by the fused-kernel path to read per-layer
+    weights without running per-layer XLA ops)."""
+    din: int
+    dout: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", linear_init, (self.din, self.dout),
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.dout,),
+                       jnp.float32)
+        return {"kernel": k, "bias": b}
+
+
+class _LNP(nn.Module):
+    """Param-mirror of nn.LayerNorm ({scale, bias})."""
+    d: int
+
+    @nn.compact
+    def __call__(self):
+        return {"scale": self.param("scale", nn.initializers.ones, (self.d,),
+                                    jnp.float32),
+                "bias": self.param("bias", nn.initializers.zeros, (self.d,),
+                                   jnp.float32)}
+
+
+class _BlockP(nn.Module):
+    """Param-mirror of PreLNBlock — same tree, values returned as a dict."""
+    d: int
+    block_exp: int = 4
+
+    @nn.compact
+    def __call__(self):
+        d = self.d
+        class _SAP(nn.Module):
+            @nn.compact
+            def __call__(s):
+                return {nm: _DenseP(d, d, name=nm)()
+                        for nm in ("que_proj", "key_proj", "val_proj",
+                                   "out_proj")}
+        return {
+            "ln_input": _LNP(d, name="ln_input")(),
+            "sa": _SAP(name="sa")(),
+            "ln_output": _LNP(d, name="ln_output")(),
+            "mlp_fc1": _DenseP(d, d * self.block_exp, name="mlp_fc1")(),
+            "mlp_fc2": _DenseP(d * self.block_exp, d, name="mlp_fc2")(),
+        }
+
+
 class _TokenTransformer(nn.Module):
     """Shared core: pooled (B,gh,gw,C) pair -> tokens -> n_layer blocks ->
-    split back to two (B,gh,gw,C) maps."""
+    split back to two (B,gh,gw,C) maps.
+
+    ``use_pallas=True`` (inference/deploy): the whole n_layer stack runs as
+    one fused Pallas kernel (``mmidet_tpu.nn.transformer_pallas``) with
+    activations resident in VMEM; the parameter tree is identical (declared
+    via param-mirrors), so checkpoints and the torch converter are
+    unaffected.  Falls back to interpreter mode off-TPU."""
     d_model: int
     num_heads: int = 8
     block_exp: int = 4
@@ -156,6 +213,7 @@ class _TokenTransformer(nn.Module):
     embd_drop: float = 0.1
     attn_drop: float = 0.1
     resid_drop: float = 0.1
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -171,10 +229,22 @@ class _TokenTransformer(nn.Module):
                          (1, ntok, self.d_model), jnp.float32)
         x = tok + pos.astype(tok.dtype)
         x = nn.Dropout(self.embd_drop)(x, deterministic=not train)
-        for i in range(self.n_layer):
-            x = PreLNBlock(self.d_model, self.num_heads, self.block_exp,
-                           self.attn_drop, self.resid_drop, dtype=self.dtype,
-                           name=f"block{i}")(x, train)
+        if self.use_pallas and not train:
+            from mmidet_tpu.nn.transformer_pallas import (
+                fused_token_transformer, stack_block_params)
+            blocks = [_BlockP(self.d_model, self.block_exp,
+                              name=f"block{i}")()
+                      for i in range(self.n_layer)]
+            stacked = stack_block_params(blocks)
+            interp = jax.devices()[0].platform != "tpu"
+            x = fused_token_transformer(
+                x.astype(jnp.bfloat16), stacked, num_heads=self.num_heads,
+                interpret=interp).astype(self.dtype)
+        else:
+            for i in range(self.n_layer):
+                x = PreLNBlock(self.d_model, self.num_heads, self.block_exp,
+                               self.attn_drop, self.resid_drop,
+                               dtype=self.dtype, name=f"block{i}")(x, train)
         x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="ln_f")(x)
         rgb_o = x[:, :gh * gw].reshape(b, gh, gw, self.d_model)
         ir_o = x[:, gh * gw:].reshape(b, gh, gw, self.d_model)
@@ -189,6 +259,7 @@ class CrossModalTransformer(nn.Module):
     block_exp: int = 4
     n_layer: int = 8
     grid: tuple[int, int] = (8, 8)
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -198,7 +269,8 @@ class CrossModalTransformer(nn.Module):
         ir_p = adaptive_avg_pool(ir, self.grid)
         rgb_o, ir_o = _TokenTransformer(
             self.d_model, self.num_heads, self.block_exp, self.n_layer,
-            self.grid, dtype=self.dtype, name="trans")(rgb_p, ir_p, train)
+            self.grid, use_pallas=self.use_pallas, dtype=self.dtype,
+            name="trans")(rgb_p, ir_p, train)
         return (bilinear_resize(rgb_o, (h, w)), bilinear_resize(ir_o, (h, w)))
 
 
@@ -238,6 +310,7 @@ class PatternFusion(nn.Module):
     block_exp: int = 4
     n_layer: int = 8
     grid: tuple[int, int] = (8, 8)
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -254,7 +327,8 @@ class PatternFusion(nn.Module):
         ir_g = pg.gate(ir_m, ir_p)
         rgb_o, ir_o = _TokenTransformer(
             self.d_model, self.num_heads, self.block_exp, self.n_layer,
-            self.grid, dtype=self.dtype, name="trans")(rgb_g, ir_g, train)
+            self.grid, use_pallas=self.use_pallas, dtype=self.dtype,
+            name="trans")(rgb_g, ir_g, train)
         return (bilinear_resize(rgb_o, (h, w)), bilinear_resize(ir_o, (h, w)),
                 pattern_loss)
 
@@ -273,6 +347,7 @@ class FourierPatternFusion(nn.Module):
     block_exp: int = 4
     n_layer: int = 8
     grid: tuple[int, int] = (8, 8)
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -302,6 +377,7 @@ class FourierPatternFusion(nn.Module):
         ir_g = pg.gate(ir_m, ir_p)
         rgb_o, ir_o = _TokenTransformer(
             self.d_model, self.num_heads, self.block_exp, self.n_layer,
-            self.grid, dtype=self.dtype, name="trans")(rgb_g, ir_g, train)
+            self.grid, use_pallas=self.use_pallas, dtype=self.dtype,
+            name="trans")(rgb_g, ir_g, train)
         return (bilinear_resize(rgb_o, (h, w)), bilinear_resize(ir_o, (h, w)),
                 pattern_loss)

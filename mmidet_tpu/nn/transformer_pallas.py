@@ -1,0 +1,206 @@
+"""Fused Pallas kernel for the cross-modal fusion transformer.
+
+The reference's fusion transformer (``GPT``/``GPT1_fourier``, 8 pre-LN
+blocks over a fixed 128-token sequence, common.py:1237-1368) is tiny per
+token but runs at every pyramid level; under XLA each LayerNorm / softmax /
+residual is its own HBM round-trip and the (d x d) matmuls at d=64..256 are
+badly lane-padded.  Measured on v5e: 21 ms/batch-128 across the four levels
+of yolov5s-gpt4, as low as 5 TFLOP/s at d=64.
+
+This kernel runs the whole L-layer stack with activations resident in VMEM:
+
+  * grid = (batch_tiles, L): the inner grid dimension streams per-layer
+    weight blocks (Pallas double-buffers the DMA automatically), so VMEM
+    holds one layer's weights at a time — scales to d=1024 (flagship).
+  * the activation tile lives in a VMEM scratch buffer that persists across
+    the (sequential) layer steps; the token tile is read once at l==0 and
+    written back once at l==L-1.
+  * heads with dk < 128 never materialize (.., dk)-shaped tensors (that
+    layout uses dk of 128 lanes and every slice relayouts): head ``g``'s
+    scores are computed as a FULL-d contraction of a lane-masked q — the
+    mask zeroes the other heads' columns, so the sum collapses to head g's
+    dk columns exactly; the context accumulates as full-d matmuls of
+    lane-masked v.  8x redundant MXU slots — but those slots were padding
+    waste anyway, and every operand stays lane-aligned.
+  * LayerNorm statistics, attention softmax and the (polynomial-erf) GELU
+    run in f32; matmuls accumulate in f32 and store bf16 — matching the
+    XLA/bf16 reference path within bf16 tolerance.
+
+Intended for the deploy/inference path (dropout-free); the XLA path in
+``mmidet_tpu.nn.fusion`` remains the training implementation.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _erf(x):
+    """f32 erf via Abramowitz-Stegun 7.1.26 (|err| < 1.5e-7 — below bf16
+    resolution); Mosaic has no erf primitive."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _layernorm(x, scale, bias, eps=1e-5):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+
+
+def _kernel(x_ref, ln1s, ln1b, wq, wk, wv, bq, bk, bv, wo, bo, ln2s, ln2b,
+            w1, b1, w2, b2, out_ref, act, *, num_heads, n_layer):
+    # big (L, ., .) weight matrices are streamed one layer-block at a time
+    # (shape (1, ., .), index [0]); small per-layer vectors are resident in
+    # full (shape (L, .), indexed [l]).
+    l = pl.program_id(1)
+
+    @pl.when(l == 0)
+    def _():
+        act[:] = x_ref[:]
+
+    tb, n, d = act.shape
+    h = num_heads
+    dk = d // h
+    m = tb * n
+    a = act[:].reshape(m, d)
+
+    # --- attention ---
+    y = _layernorm(a, ln1s[l], ln1b[l]).astype(jnp.bfloat16)
+
+    def proj(w, b):
+        o = jnp.dot(y, w[0], preferred_element_type=jnp.float32)
+        return (o + b[l].astype(jnp.float32)).astype(jnp.bfloat16)
+
+    q = proj(wq, bq).reshape(tb, n, d)
+    k = proj(wk, bk).reshape(tb, n, d)
+    v = proj(wv, bv).reshape(tb, n, d)
+    inv = 1.0 / math.sqrt(dk)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d), 2)
+    o32 = jnp.zeros((tb, n, d), jnp.float32)
+    for g in range(h):
+        mask = (lane // dk == g).astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            q * mask, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * inv     # (tb, n, n)
+        p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+        o32 = o32 + jax.lax.dot_general(
+            p, v * mask, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)           # (tb, n, d)
+    o = o32.astype(jnp.bfloat16).reshape(m, d)
+    o = jnp.dot(o, wo[0], preferred_element_type=jnp.float32)
+    o = o + bo[l].astype(jnp.float32)
+    a = (a.astype(jnp.float32) + o).astype(jnp.bfloat16)
+
+    # --- MLP ---
+    y = _layernorm(a, ln2s[l], ln2b[l]).astype(jnp.bfloat16)
+    hdn = jnp.dot(y, w1[0], preferred_element_type=jnp.float32)
+    hdn = hdn + b1[l].astype(jnp.float32)
+    # exact (erf) GELU, as the reference's nn.GELU
+    hdn = 0.5 * hdn * (1.0 + _erf(hdn * (1.0 / math.sqrt(2.0))))
+    hdn = hdn.astype(jnp.bfloat16)
+    o = jnp.dot(hdn, w2[0], preferred_element_type=jnp.float32)
+    o = o + b2[l].astype(jnp.float32)
+    a = (a.astype(jnp.float32) + o).astype(jnp.bfloat16)
+
+    act[:] = a.reshape(tb, n, d)
+
+    @pl.when(l == n_layer - 1)
+    def _():
+        out_ref[:] = act[:]
+
+
+def _tile_b(b: int, d: int) -> int:
+    want = {64: 16, 128: 16, 256: 8}.get(d, 4 if d <= 512 else 2)
+    while b % want:
+        want //= 2
+    return max(want, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def fused_token_transformer(x: jnp.ndarray, stacked: dict,
+                            num_heads: int = 8,
+                            interpret: bool = False) -> jnp.ndarray:
+    """x: (B, N, d) bf16 tokens (pos-emb already added).  ``stacked``: dict
+    of per-layer-stacked weight arrays:
+      ln1_scale/ln1_bias (L,d), wq/wk/wv (L,d,d), bq/bk/bv (L,d),
+      wo (L,d,d), bo (L,d), ln2_scale/ln2_bias (L,d), w1 (L,d,4d),
+      b1 (L,4d), w2 (L,4d,d), b2 (L,d).
+    Returns (B, N, d) bf16 (final ln_f NOT applied — caller's job)."""
+    b, n, d = x.shape
+    L = stacked["wq"].shape[0]
+    tb = _tile_b(b, d)
+    grid = (b // tb, L)
+
+    def wspec(shape):
+        if len(shape) == 1:
+            # small per-layer vectors: resident in full (Mosaic requires
+            # sublane-divisible blocks otherwise), indexed [l] in-kernel
+            return pl.BlockSpec(memory_space=pltpu.VMEM)
+        # big matrices: one layer's block per step; Pallas pipelines l+1
+        return pl.BlockSpec((1,) + shape,
+                            lambda i, l: (l,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    names = ["ln1_scale", "ln1_bias", "wq", "wk", "wv", "bq", "bk", "bv",
+             "wo", "bo", "ln2_scale", "ln2_bias", "w1", "b1", "w2", "b2"]
+    in_specs = [pl.BlockSpec((tb, n, d), lambda i, l: (i, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    ops = [x.astype(jnp.bfloat16)]
+    for nm in names:
+        arr = stacked[nm]
+        wdt = jnp.bfloat16 if arr.ndim == 3 else jnp.float32
+        ops.append(arr.astype(wdt))
+        in_specs.append(wspec(arr.shape[1:]))
+
+    return pl.pallas_call(
+        functools.partial(_kernel, num_heads=num_heads, n_layer=L),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tb, n, d), lambda i, l: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((tb, n, d), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(*ops)
+
+
+def stack_block_params(blocks: list[dict]) -> dict:
+    """Stack per-layer PreLNBlock param dicts (flax tree: ln_input/sa/
+    ln_output/mlp_fc1/mlp_fc2) into the arrays fused_token_transformer
+    wants."""
+    def st(fn):
+        return jnp.stack([fn(b) for b in blocks])
+
+    out = {
+        "ln1_scale": st(lambda b: b["ln_input"]["scale"]),
+        "ln1_bias": st(lambda b: b["ln_input"]["bias"]),
+        "ln2_scale": st(lambda b: b["ln_output"]["scale"]),
+        "ln2_bias": st(lambda b: b["ln_output"]["bias"]),
+        "wo": st(lambda b: b["sa"]["out_proj"]["kernel"]),
+        "bo": st(lambda b: b["sa"]["out_proj"]["bias"]),
+        "w1": st(lambda b: b["mlp_fc1"]["kernel"]),
+        "b1": st(lambda b: b["mlp_fc1"]["bias"]),
+        "w2": st(lambda b: b["mlp_fc2"]["kernel"]),
+        "b2": st(lambda b: b["mlp_fc2"]["bias"]),
+    }
+    for w, bias, nm in (("wq", "bq", "que_proj"), ("wk", "bk", "key_proj"),
+                        ("wv", "bv", "val_proj")):
+        out[w] = st(lambda blk, nm=nm: blk["sa"][nm]["kernel"])
+        out[bias] = st(lambda blk, nm=nm: blk["sa"][nm]["bias"])
+    return out
