@@ -62,6 +62,7 @@ class TwoStreamDetector(nn.Module):
                                name="enhance")(x, train)
 
         y: dict[int, Any] = {}
+        premerged: set[int] = set()
         result = None
         for rl in resolved:
             name = f"l{rl.index}_{rl.name.replace('.', '_')}"
@@ -88,7 +89,12 @@ class TwoStreamDetector(nn.Module):
             elif m == "Add":
                 x = inp[0] + inp[1]
             elif m == "Add2":
-                x = inp[0] + inp[1][rl.args[0]]
+                if isinstance(rl.f, tuple) and rl.f[1] in premerged:
+                    # the fused GPT kernel already merged the stream into
+                    # its outputs (fusion_pallas.fused_gpt_merge)
+                    x = inp[1][rl.args[0]]
+                else:
+                    x = inp[0] + inp[1][rl.args[0]]
             elif m in ("Upsample", "nn.Upsample"):
                 x = nearest_upsample(inp, 2)
             elif m == "Contract":
@@ -96,10 +102,19 @@ class TwoStreamDetector(nn.Module):
             elif m == "Expand":
                 x = L.expand(inp, rl.args[0])
             elif m == "GPT":
+                # merge_kernel (the single-kernel pool+transformer+upsample+
+                # merge, nn/fusion_pallas.py) measured AT PARITY with the
+                # XLA sequence at its compilable tile sizes on v5e and is
+                # kept off; the token-transformer kernel alone carries the
+                # win (see PERF.md "fusion mega-kernel" entry).
+                merge = False
                 r, i_ = CrossModalTransformer(
-                    rl.args[0], use_pallas=self.pallas_fusion, dtype=dt,
+                    rl.args[0], use_pallas=self.pallas_fusion,
+                    merge_kernel=merge, dtype=dt,
                     name=name)(inp[0], inp[1], train)
                 x = [r, i_]
+                if merge:
+                    premerged.add(rl.index)
             elif m == "MambaFusion":
                 from mmidet_tpu.nn.mamba import MambaFusion
                 r, i_ = MambaFusion(rl.args[0], dtype=dt,

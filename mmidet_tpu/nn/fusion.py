@@ -251,20 +251,56 @@ class _TokenTransformer(nn.Module):
         return rgb_o, ir_o
 
 
+class _TransP(nn.Module):
+    """Param-mirror of _TokenTransformer (pos_emb + blocks + ln_f)."""
+    d: int
+    n_layer: int = 8
+    block_exp: int = 4
+    ntok: int = 128
+
+    @nn.compact
+    def __call__(self):
+        pos = self.param("pos_emb", nn.initializers.zeros,
+                         (1, self.ntok, self.d), jnp.float32)
+        blocks = [_BlockP(self.d, self.block_exp, name=f"block{i}")()
+                  for i in range(self.n_layer)]
+        lnf = _LNP(self.d, name="ln_f")()
+        return pos, blocks, lnf
+
+
 class CrossModalTransformer(nn.Module):
     """Plain cross-modal transformer fusion (used at P3/P4/P5).
-    Ref: GPT, common.py:1270-1368.  Returns (rgb_out, ir_out)."""
+    Ref: GPT, common.py:1270-1368.  Returns (rgb_out, ir_out).
+
+    ``merge_kernel=True`` (deploy): the whole pool -> 8-layer transformer ->
+    bilinear upsample -> Add2 stream-merge sequence runs as ONE Pallas
+    kernel (``mmidet_tpu.nn.fusion_pallas``) and the returned pair is the
+    MERGED streams (rgb + up, ir + up) — the caller must turn the
+    downstream Add2 layers into selects.  Parameter tree unchanged."""
     d_model: int
     num_heads: int = 8
     block_exp: int = 4
     n_layer: int = 8
     grid: tuple[int, int] = (8, 8)
     use_pallas: bool = False
+    merge_kernel: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, rgb, ir, train: bool = False):
         h, w = rgb.shape[1], rgb.shape[2]
+        if self.merge_kernel and not train:
+            from mmidet_tpu.nn.fusion_pallas import fused_gpt_merge
+            from mmidet_tpu.nn.transformer_pallas import stack_block_params
+            pos, blocks, lnf = _TransP(self.d_model, self.n_layer,
+                                       self.block_exp, name="trans")()
+            stacked = stack_block_params(blocks)
+            interp = jax.devices()[0].platform != "tpu"
+            ro, io = fused_gpt_merge(
+                rgb.astype(jnp.bfloat16), ir.astype(jnp.bfloat16), stacked,
+                pos, lnf["scale"], lnf["bias"], num_heads=self.num_heads,
+                interpret=interp)
+            return ro.astype(self.dtype), io.astype(self.dtype)
         rgb_p = adaptive_avg_pool(rgb, self.grid)
         ir_p = adaptive_avg_pool(ir, self.grid)
         rgb_o, ir_o = _TokenTransformer(

@@ -1,0 +1,270 @@
+"""Single-kernel cross-modal fusion block (GPT) for the deploy path.
+
+Fuses the ENTIRE ``CrossModalTransformer`` + ``Add2`` merge sequence —
+adaptive-avgpool both streams to 8x8, 128-token 8-layer transformer,
+bilinear upsample back to (H, W), residual merge into each stream — into
+one Pallas kernel.  Reference semantics: ``GPT`` (common.py:1270-1368)
+followed by the two ``Add2`` merges (common.py:926-935, used at every
+fusion level of the *_fusion_transformer_* models).
+
+Why: XLA runs this sequence at the HBM roofline — every intermediate
+(pooled maps, 8 layers x ~8 token tensors, the upsampled maps, the merge)
+is an HBM round-trip; measured 18.4 GB/batch-128 of the yolov5s-gpt4
+forward's 54.8 GB is this path.  Here each batch tile makes exactly one
+trip: streams in, merged streams out; everything else lives in VMEM.
+
+Numerics match the XLA path within bf16 tolerance: LN stats / softmax /
+GELU(erf poly) in f32, matmuls accumulate f32, activations bf16.  The
+pooling windows reproduce torch AdaptiveAvgPool2d's floor/ceil boundaries
+and the upsample reproduces ``F.interpolate(mode='bilinear',
+align_corners=False)`` half-pixel centers exactly (same arithmetic as
+``mmidet_tpu.nn.resize``).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mmidet_tpu.nn.transformer_pallas import _erf, _layernorm
+
+
+def _pool_windows(n_in: int, n_out: int = 8):
+    """torch AdaptiveAvgPool1d window (start, length) per output index."""
+    out = []
+    for i in range(n_out):
+        start = (i * n_in) // n_out
+        end = math.ceil((i + 1) * n_in / n_out)
+        out.append((start, end - start))
+    return out
+
+
+def _upsample_groups(n_in: int, n_out: int):
+    """Bilinear (half-pixel, clamped) output runs grouped by (lo, hi) source
+    pair: list of (out_start, out_len, lo, hi, w_hi[np array])."""
+    scale = n_in / n_out
+    lo_hi = []
+    fr = []
+    for i in range(n_out):
+        src = min(max((i + 0.5) * scale - 0.5, 0.0), n_in - 1)
+        lo = int(math.floor(src))
+        hi = min(lo + 1, n_in - 1)
+        lo_hi.append((lo, hi))
+        fr.append(src - lo)
+    groups = []
+    s = 0
+    for i in range(1, n_out + 1):
+        if i == n_out or lo_hi[i] != lo_hi[s]:
+            groups.append((s, i - s, lo_hi[s][0], lo_hi[s][1],
+                           np.asarray(fr[s:i], np.float32)))
+            s = i
+    return groups
+
+
+def _pool8(x, h, w):
+    """(H, W, C) -> (64, C) torch-exact adaptive mean (8x8 row-major)."""
+    rows = []
+    for (hs, hl) in _pool_windows(h):
+        rows.append(jnp.sum(x[hs:hs + hl], axis=0, keepdims=True) / hl)
+    xr = jnp.concatenate(rows, axis=0)          # (8, W, C)
+    cols = []
+    for (ws, wl) in _pool_windows(w):
+        cols.append(jnp.sum(xr[:, ws:ws + wl], axis=1, keepdims=True) / wl)
+    p = jnp.concatenate(cols, axis=1)           # (8, 8, C)
+    return p.reshape(64, p.shape[-1])
+
+
+def _frac(os_, ol, lo, n_in, n_out, shape, dim):
+    """In-kernel bilinear weight vector for an output run (no captured
+    consts — Pallas kernels must build constants from iota)."""
+    scale = n_in / n_out
+    idx = jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(
+        jnp.float32) + float(os_)
+    src = (idx + 0.5) * scale - 0.5
+    src = jnp.clip(src, 0.0, float(n_in - 1))
+    return src - float(lo)
+
+
+def _upsample(z, h, w):
+    """(8, 8, C) -> (H, W, C) torch-exact bilinear, f32 weights."""
+    z32 = z.astype(jnp.float32)
+    rows = []
+    for (os_, ol, lo, hi, _) in _upsample_groups(8, h):
+        wv = _frac(os_, ol, lo, 8, h, (ol, 1, 1), 0)
+        rows.append(z32[lo:lo + 1] * (1.0 - wv) + z32[hi:hi + 1] * wv)
+    zh = jnp.concatenate(rows, axis=0)          # (H, 8, C)
+    cols = []
+    for (os_, ol, lo, hi, _) in _upsample_groups(8, w):
+        wv = _frac(os_, ol, lo, 8, w, (1, ol, 1), 1)
+        cols.append(zh[:, lo:lo + 1] * (1.0 - wv) + zh[:, hi:hi + 1] * wv)
+    return jnp.concatenate(cols, axis=1).astype(jnp.bfloat16)
+
+
+def _transformer(a, wrefs, lnf_s, lnf_b, num_heads, n_layer):
+    """a: (m, d) bf16 tokens (pos already added). All-resident weights:
+    wrefs[name][l] indexable."""
+    m, d = a.shape
+    h = num_heads
+    dk = d // h
+    inv = 1.0 / math.sqrt(dk)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d), 2)
+    n = 128  # tokens per image
+    tb = m // n
+    for l in range(n_layer):
+        y = _layernorm(a, wrefs["ln1_scale"][l],
+                       wrefs["ln1_bias"][l]).astype(jnp.bfloat16)
+
+        def proj(wn, bn):
+            o = jnp.dot(y, wrefs[wn][l], preferred_element_type=jnp.float32)
+            return (o + wrefs[bn][l].astype(jnp.float32)).astype(jnp.bfloat16)
+
+        q = proj("wq", "bq").reshape(tb, n, d)
+        k = proj("wk", "bk").reshape(tb, n, d)
+        v = proj("wv", "bv").reshape(tb, n, d)
+        o32 = jnp.zeros((tb, n, d), jnp.float32)
+        for g in range(h):
+            mask = (lane // dk == g).astype(jnp.bfloat16)
+            s = jax.lax.dot_general(
+                q * mask, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * inv
+            p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+            o32 = o32 + jax.lax.dot_general(
+                p, v * mask, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+        o = o32.astype(jnp.bfloat16).reshape(m, d)
+        o = jnp.dot(o, wrefs["wo"][l], preferred_element_type=jnp.float32)
+        o = o + wrefs["bo"][l].astype(jnp.float32)
+        a = (a.astype(jnp.float32) + o).astype(jnp.bfloat16)
+
+        y = _layernorm(a, wrefs["ln2_scale"][l],
+                       wrefs["ln2_bias"][l]).astype(jnp.bfloat16)
+        hdn = jnp.dot(y, wrefs["w1"][l], preferred_element_type=jnp.float32)
+        hdn = hdn + wrefs["b1"][l].astype(jnp.float32)
+        hdn = 0.5 * hdn * (1.0 + _erf(hdn * (1.0 / math.sqrt(2.0))))
+        hdn = hdn.astype(jnp.bfloat16)
+        o = jnp.dot(hdn, wrefs["w2"][l], preferred_element_type=jnp.float32)
+        o = o + wrefs["b2"][l].astype(jnp.float32)
+        a = (a.astype(jnp.float32) + o).astype(jnp.bfloat16)
+    a = _layernorm(a, lnf_s[0], lnf_b[0]).astype(jnp.bfloat16)
+    return a
+
+
+_WNAMES = ["ln1_scale", "ln1_bias", "wq", "wk", "wv", "bq", "bk", "bv",
+           "wo", "bo", "ln2_scale", "ln2_bias", "w1", "b1", "w2", "b2"]
+
+
+def _kernel(rgb_hbm, ir_hbm, pos, lnf_s, lnf_b, *wops_and_outs,
+            h, w, tb, num_heads, n_layer):
+    n_w = len(_WNAMES)
+    wrefs = dict(zip(_WNAMES, wops_and_outs[:n_w]))
+    rgb_out, ir_out = wops_and_outs[n_w:n_w + 2]
+    rest = wops_and_outs[n_w + 2:]
+    bufs, sem = rest[:-1], rest[-1]
+    rgb_v = bufs[:tb]
+    ir_v = bufs[tb:]
+    i = pl.program_id(0)
+    c = rgb_v[0].shape[-1]
+
+    # per-image scratch buffers: whole-ref DMA only (slicing a C<128
+    # scratch hits Mosaic's lane-packed layout and fails to lower)
+    cps = []
+    for j in range(tb):
+        cps.append(pltpu.make_async_copy(
+            rgb_hbm.at[i * tb + j], rgb_v[j], sem.at[2 * j]))
+        cps.append(pltpu.make_async_copy(
+            ir_hbm.at[i * tb + j], ir_v[j], sem.at[2 * j + 1]))
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+
+    toks = []
+    for j in range(tb):
+        toks.append(_pool8(rgb_v[j][:], h, w))        # (64, C)
+        toks.append(_pool8(ir_v[j][:], h, w))
+    tok = jnp.concatenate(toks, axis=0)               # (tb*128, C)
+    posb = jnp.concatenate([pos[0]] * tb, axis=0)
+    tok = (tok.astype(jnp.float32) + posb.astype(jnp.float32)
+           ).astype(jnp.bfloat16)
+    a = _transformer(tok, wrefs, lnf_s, lnf_b, num_heads, n_layer)
+
+    for j in range(tb):
+        zr = a[j * 128:j * 128 + 64].reshape(8, 8, c)
+        zi = a[j * 128 + 64:(j + 1) * 128].reshape(8, 8, c)
+        rgb_v[j][:] = rgb_v[j][:] + _upsample(zr, h, w)
+        ir_v[j][:] = ir_v[j][:] + _upsample(zi, h, w)
+
+    cps = []
+    for j in range(tb):
+        cps.append(pltpu.make_async_copy(
+            rgb_v[j], rgb_out.at[i * tb + j], sem.at[2 * j]))
+        cps.append(pltpu.make_async_copy(
+            ir_v[j], ir_out.at[i * tb + j], sem.at[2 * j + 1]))
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+
+
+def _tile_b(b: int, h: int, w: int, c: int) -> int:
+    # keep the two in-tiles (both streams) around <= ~14 MB
+    per_img = 2 * h * w * c * 2
+    want = max(1, (14 << 20) // per_img)
+    want = min(want, 8)
+    while b % want:
+        want -= 1
+    return max(want, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def fused_gpt_merge(rgb: jnp.ndarray, ir: jnp.ndarray, stacked: dict,
+                    pos_emb: jnp.ndarray, lnf_scale: jnp.ndarray,
+                    lnf_bias: jnp.ndarray, num_heads: int = 8,
+                    interpret: bool = False):
+    """rgb/ir: (B, H, W, C) bf16 streams.  Returns (rgb + up(trans_rgb),
+    ir + up(trans_ir)) — the GPT fusion outputs already merged into the
+    streams (the two Add2 layers' result)."""
+    b, h, w, c = rgb.shape
+    L = stacked["wq"].shape[0]
+    tb = _tile_b(b, h, w, c)
+    grid = (b // tb,)
+
+    ops = [rgb.astype(jnp.bfloat16), ir.astype(jnp.bfloat16),
+           pos_emb.astype(jnp.float32).reshape(1, 128, c),
+           lnf_scale.astype(jnp.float32).reshape(1, c),
+           lnf_bias.astype(jnp.float32).reshape(1, c)]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM)]
+    for nm in _WNAMES:
+        arr = stacked[nm]
+        wdt = jnp.bfloat16 if arr.ndim == 3 else jnp.float32
+        ops.append(arr.astype(wdt))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+    out_shape = (jax.ShapeDtypeStruct((b, h, w, c), jnp.bfloat16),
+                 jax.ShapeDtypeStruct((b, h, w, c), jnp.bfloat16))
+    kernel = functools.partial(_kernel, h=h, w=w, tb=tb,
+                               num_heads=num_heads, n_layer=L)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((h, w, c), jnp.bfloat16)
+                        for _ in range(2 * tb)]
+                       + [pltpu.SemaphoreType.DMA((2 * tb,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*ops)

@@ -1,0 +1,62 @@
+"""fused_gpt_merge (single-kernel pool->transformer->upsample->merge) vs
+the XLA CrossModalTransformer + Add2 sequence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmidet_tpu.nn.fusion import CrossModalTransformer
+
+
+def _rand_tree(tree, rng):
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    out = []
+    for leaf in leaves:
+        rng, k = jax.random.split(rng)
+        out.append(jax.random.normal(k, leaf.shape, leaf.dtype) * 0.2)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+@pytest.mark.parametrize("d,hw,b", [(64, 40, 2), (128, 20, 3)])
+def test_merge_kernel_matches_xla(d, hw, b):
+    xla = CrossModalTransformer(d, n_layer=2, dtype=jnp.float32)
+    ker = CrossModalTransformer(d, n_layer=2, merge_kernel=True,
+                                dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    rgb = jax.random.normal(rng, (b, hw, hw, d), jnp.float32)
+    ir = rgb * 0.3 + 0.2
+    v = xla.init({"params": rng}, rgb[:1], ir[:1], train=False)
+    v = {"params": _rand_tree(v["params"], jax.random.PRNGKey(7))}
+
+    v_k = ker.init({"params": rng}, rgb[:1], ir[:1], train=False)
+    assert (jax.tree_util.tree_structure(v["params"])
+            == jax.tree_util.tree_structure(v_k["params"]))
+
+    r0, i0 = xla.apply(v, rgb, ir, train=False)
+    r0, i0 = rgb + r0, ir + i0          # the Add2 merges
+    r1, i1 = ker.apply(v, rgb, ir, train=False)
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(r1, np.float32),
+                               rtol=0.06, atol=0.06)
+    np.testing.assert_allclose(np.asarray(i0), np.asarray(i1, np.float32),
+                               rtol=0.06, atol=0.06)
+
+
+def test_detector_premerge_equivalence():
+    """Full detector with pallas_fusion (merged GPT + Add2-select) matches
+    the plain XLA detector within bf16 tolerance on CPU interpret mode."""
+    from mmidet_tpu.models.detector import TwoStreamDetector
+    from mmidet_tpu.models.zoo import two_stream_spec
+
+    spec = two_stream_spec("s", "gpt3", nc=2)
+    plain = TwoStreamDetector(spec=spec, aux_mode="off", use_cem=False)
+    fusedm = TwoStreamDetector(spec=spec, aux_mode="off", use_cem=False,
+                               pallas_fusion=True)
+    rng = jax.random.PRNGKey(0)
+    rgb = jax.random.uniform(rng, (1, 64, 64, 3), jnp.float32)
+    ir = 1.0 - rgb
+    v = plain.init({"params": rng}, rgb, ir, train=False)
+    p0 = plain.apply(v, rgb, ir, train=False)["pred"]
+    p1 = fusedm.apply(v, rgb, ir, train=False)["pred"]
+    np.testing.assert_allclose(np.asarray(p0), np.asarray(p1),
+                               rtol=0.05, atol=0.05)
