@@ -37,6 +37,11 @@ class DetectionService:
                                        conf_thres=conf_thres,
                                        iou_thres=iou_thres)
         self._infer = lambda rgb, ir: infer(self.variables, rgb, ir)
+        # warm the jit at construction so the first request doesn't pay the
+        # compile (the reference's flask server has the same cold-start,
+        # restapi.py loads the model at import)
+        z = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
+        jax.block_until_ready(self._infer(z, z))
 
     def predict(self, rgb_bytes: bytes, ir_bytes: bytes) -> list[dict]:
         from PIL import Image
@@ -93,3 +98,36 @@ def serve(service: DetectionService, host: str = "0.0.0.0",
     srv = HTTPServer((host, port), make_handler(service))
     print(f"serving on http://{host}:{port}/v1/detect")
     srv.serve_forever()
+
+
+def main(argv=None):
+    """Serve CLI: ``python -m mmidet_tpu.deploy.serve --cfg yolov5l_fourier
+    --weights runs/exp/ckpt/deploy --names People Car ...``"""
+    import argparse
+
+    p = argparse.ArgumentParser("mmidet-tpu serve")
+    p.add_argument("--cfg", type=str, default="yolov5s_add")
+    p.add_argument("--weights", type=str, default="",
+                   help="orbax deploy dir or converted torch .pt")
+    p.add_argument("--names", type=str, nargs="*", default=None)
+    p.add_argument("--nc", type=int, default=6)
+    p.add_argument("--img-size", type=int, default=640)
+    p.add_argument("--conf-thres", type=float, default=0.25)
+    p.add_argument("--iou-thres", type=float, default=0.45)
+    p.add_argument("--host", type=str, default="0.0.0.0")
+    p.add_argument("--port", type=int, default=5000)
+    args = p.parse_args(argv)
+
+    from mmidet_tpu.cli.val import load_model_and_vars
+    model, variables, spec = load_model_and_vars(
+        args.cfg, args.weights, nc=args.nc)
+    names = args.names or [str(i) for i in range(args.nc)]
+    service = DetectionService(model, variables, names,
+                               img_size=args.img_size,
+                               conf_thres=args.conf_thres,
+                               iou_thres=args.iou_thres)
+    serve(service, args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()
