@@ -1,0 +1,65 @@
+"""REST serving endpoint end-to-end on a tiny model (reference
+utils/flask_rest_api/restapi.py parity surface)."""
+
+import base64
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+from http.server import HTTPServer
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+
+@pytest.fixture(scope="module")
+def server():
+    from PIL import Image  # noqa: F401  (decode dependency)
+    from mmidet_tpu.cli.val import load_model_and_vars
+    from mmidet_tpu.deploy.serve import DetectionService, make_handler
+
+    model, variables, _ = load_model_and_vars("yolov5s_add", "", nc=2,
+                                              use_cem=False)
+    svc = DetectionService(model, variables, ["a", "b"], img_size=32,
+                           conf_thres=1e-4)
+    srv = HTTPServer(("127.0.0.1", 0), make_handler(svc))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def _b64(img):
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def test_detect_endpoint(server):
+    rng = np.random.default_rng(0)
+    img = (rng.random((48, 64, 3)) * 255).astype(np.uint8)
+    req = urllib.request.Request(
+        server + "/v1/detect",
+        data=json.dumps({"rgb": _b64(img), "ir": _b64(255 - img)}).encode(),
+        headers={"Content-Type": "application/json"})
+    resp = urllib.request.urlopen(req, timeout=300)
+    recs = json.loads(resp.read())
+    assert resp.status == 200
+    assert isinstance(recs, list)
+    if recs:
+        assert {"xmin", "ymin", "xmax", "ymax", "confidence", "class",
+                "name"} <= set(recs[0])
+
+
+def test_bad_payload_and_path(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(urllib.request.Request(
+            server + "/v1/detect", data=b"not-json"), timeout=60)
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(urllib.request.Request(
+            server + "/nope", data=b"{}"), timeout=60)
+    assert e.value.code == 404
