@@ -83,13 +83,54 @@ def collate_mosaic_pool(samples4: list[list[dict]], img_size: int,
     return {"rgb4": rgb4, "ir4": ir4, "labels4": labels4, "mask4": mask4}
 
 
+def collate_mosaic_pool_native(ds: PairedDataset, groups_idx,
+                               img_size: int,
+                               max_labels_tile: int = 60) -> dict:
+    """Native-fastloader mosaic collate: ONE C call decodes + letterboxes
+    all 4*B tiles per modality (threaded libjpeg/libpng, no GIL, no PIL).
+    Label geometry is recovered from the returned (r, dw, dh) letterbox
+    meta — exactly the same numbers collate_mosaic_pool computes — so no
+    header reads are needed either."""
+    from mmidet_tpu.data.native import batch_decode_letterbox
+    s = img_size
+    bsz = len(groups_idx)
+    flat = [j for g in groups_idx for j in g]
+    rgb, meta = batch_decode_letterbox([ds.rgb_files[j] for j in flat], s)
+    ir, _ = batch_decode_letterbox([ds.ir_files[j] for j in flat], s)
+    rgb4 = rgb.reshape(bsz, 4, s, s, 3)
+    ir4 = ir.reshape(bsz, 4, s, s, 3)
+    labels4 = np.zeros((bsz, 4, max_labels_tile, 5), np.float32)
+    mask4 = np.zeros((bsz, 4, max_labels_tile), bool)
+    for k, j in enumerate(flat):
+        b, t = divmod(k, 4)
+        lab = ds.labels[j]
+        n = min(len(lab), max_labels_tile)
+        if not n:
+            continue
+        r, dw, dh = meta[k]
+        nw, nh = s - 2.0 * dw, s - 2.0 * dh   # = round(w0*r), round(h0*r)
+        l = lab[:n].copy()
+        l[:, 1] = (l[:, 1] * nw + dw) / s
+        l[:, 2] = (l[:, 2] * nh + dh) / s
+        l[:, 3] = l[:, 3] * nw / s
+        l[:, 4] = l[:, 4] * nh / s
+        labels4[b, t, :n] = l
+        mask4[b, t, :n] = True
+    return {"rgb4": rgb4, "ir4": ir4, "labels4": labels4, "mask4": mask4}
+
+
 class MosaicLoader:
     """Training loader yielding mosaic-pool batches (4 tiles per sample:
-    the indexed image + 3 uniformly random ones, as the reference)."""
+    the indexed image + 3 uniformly random ones, as the reference).
+
+    ``use_native=True`` (default: auto-detect) batches all tile decodes
+    through the C++ fastloader — one call per modality per batch."""
 
     def __init__(self, dataset: PairedDataset, batch_size: int,
                  img_size: int = 640, max_labels_tile: int = 60,
-                 seed: int = 0, prefetch: int = 2):
+                 seed: int = 0, prefetch: int = 2,
+                 use_native: bool | None = None):
+        from mmidet_tpu.data import native as _native
         self.ds = dataset
         self.batch_size = batch_size
         self.img_size = img_size
@@ -97,6 +138,9 @@ class MosaicLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.epoch = 0
+        if use_native is None:
+            use_native = _native.available()
+        self.use_native = use_native
 
     def __len__(self):
         return len(self.ds) // self.batch_size
@@ -111,13 +155,17 @@ class MosaicLoader:
         def worker():
             for b in range(nb):
                 sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
-                groups = []
-                for i in sel:
-                    extra = rng.integers(0, len(self.ds), 3)
-                    groups.append([self.ds[int(j)]
-                                   for j in [i, *extra]])
-                q.put(collate_mosaic_pool(groups, self.img_size,
-                                          self.max_labels_tile))
+                groups_idx = [[int(i)] + [int(x) for x in
+                              rng.integers(0, len(self.ds), 3)]
+                              for i in sel]
+                if self.use_native:
+                    q.put(collate_mosaic_pool_native(
+                        self.ds, groups_idx, self.img_size,
+                        self.max_labels_tile))
+                else:
+                    groups = [[self.ds[j] for j in g] for g in groups_idx]
+                    q.put(collate_mosaic_pool(groups, self.img_size,
+                                              self.max_labels_tile))
             q.put(None)
 
         t = threading.Thread(target=worker, daemon=True)

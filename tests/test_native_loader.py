@@ -100,3 +100,33 @@ def test_paired_loader_native(tmp_path):
         # differences only show at shape edges — mean error stays tiny
         err = np.abs(bn["rgb"].astype(int) - bp["rgb"].astype(int)).mean()
         assert err < 4, err
+
+
+def test_mosaic_native_collate_matches_pil(tmp_path):
+    """collate_mosaic_pool_native (one C call for all tiles) must agree
+    with the PIL-path collate on labels/masks exactly and on pixels up to
+    resampler differences."""
+    import numpy as np
+    import pytest
+    from mmidet_tpu.data import native
+    from mmidet_tpu.data.datasets import PairedDataset
+    from mmidet_tpu.data.loader import (collate_mosaic_pool,
+                                        collate_mosaic_pool_native)
+    from mmidet_tpu.data.synthetic import make_synthetic_pair_dataset
+    import yaml
+
+    if not native.available():
+        pytest.skip("native fastloader unavailable")
+    yml = make_synthetic_pair_dataset(str(tmp_path / "s"), n=5, img=80)
+    d = yaml.safe_load(open(yml))
+    ds = PairedDataset(d["train_rgb"], d["train_ir"], nc=d["nc"])
+    groups_idx = [[0, 1, 2, 3], [4, 0, 2, 1]]
+    nat = collate_mosaic_pool_native(ds, groups_idx, 64, 10)
+    groups = [[ds[j] for j in g] for g in groups_idx]
+    pil = collate_mosaic_pool(groups, 64, 10)
+    np.testing.assert_allclose(nat["labels4"], pil["labels4"], atol=1e-6)
+    np.testing.assert_array_equal(nat["mask4"], pil["mask4"])
+    # pixels: cv2-style vs PIL bilinear differ slightly; mean must be tiny
+    diff = np.abs(nat["rgb4"].astype(np.int16)
+                  - pil["rgb4"].astype(np.int16))
+    assert diff.mean() < 3.0, diff.mean()
