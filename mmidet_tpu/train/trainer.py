@@ -144,6 +144,11 @@ def train(cfg: TrainConfig) -> dict:
 
     model = TwoStreamDetector(spec=spec, use_cem=cfg.use_cem,
                               aux_mode=cfg.aux_mode, dtype=dtype)
+    # per-epoch eval runs the fused Pallas token-transformer kernel on TPU
+    # (same param tree; 14x on the d>=512 fusion levels — PERF.md)
+    import dataclasses as _dc2
+    eval_model = _dc2.replace(model, pallas_fusion=jax.devices()[0].platform
+                              == "tpu")
     val_ds = PairedDataset(data["val_rgb"], data["val_ir"], nc=nc,
                            cache_dir=workdir)
     use_mosaic = hyp.get("mosaic", 1.0) > 0 and cfg.mosaic_prob > 0
@@ -256,7 +261,7 @@ def train(cfg: TrainConfig) -> dict:
         if (epoch + 1) % cfg.eval_every == 0 or epoch == cfg.epochs - 1:
             ema_vars = {"params": state.ema["params"],
                         "batch_stats": state.ema["batch_stats"]}
-            res = evaluate(model, ema_vars, val_loader_fn(), nc,
+            res = evaluate(eval_model, ema_vars, val_loader_fn(), nc,
                            names=names)
             fit = float(fitness(res.fitness_vector())[0])
             if fit > best_fit:
