@@ -157,7 +157,7 @@ def build_candidates(targets: jnp.ndarray, mask: jnp.ndarray,
 def compute_loss(train_outs: Sequence[jnp.ndarray], targets: jnp.ndarray,
                  target_mask: jnp.ndarray, anchors: jnp.ndarray,
                  hyp: LossHyp = LossHyp(), combine_loss=None,
-                 balance: Sequence[float] = (4.0, 1.0, 0.4)):
+                 balance: Sequence[float] | None = None):
     """YOLOv5 + Info-Guided loss. Ref: ComputeLoss.__call__ (loss.py:113-184).
 
     Args:
@@ -171,6 +171,11 @@ def compute_loss(train_outs: Sequence[jnp.ndarray], targets: jnp.ndarray,
     Returns (loss_total, metrics dict).  ``loss_total`` includes the
     reference's ``* batch_size`` scaling.
     """
+    if balance is None:
+        # reference per-level objectness balance (loss.py:106):
+        # {3: [4, 1, 0.4]}.get(nl, [4, 1, 0.25, 0.06, 0.02])
+        balance = {3: (4.0, 1.0, 0.4)}.get(
+            len(train_outs), (4.0, 1.0, 0.25, 0.06, 0.02)[:len(train_outs)])
     nc = train_outs[0].shape[-1] - 5
     bsz = train_outs[0].shape[0]
     dtype = jnp.float32

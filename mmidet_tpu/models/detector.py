@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from mmidet_tpu.losses import fusion as fusion_losses
@@ -83,7 +84,13 @@ class TwoStreamDetector(nn.Module):
                 inp = get(rl.f)
 
             if m in _SIMPLE:
+                # n>1 repeats chain sequentially (reference nn.Sequential,
+                # yolo_test.py:563) — C3-family folds repeats internally so
+                # this only triggers for plain Bottleneck rows (hub yolov3)
                 x = _SIMPLE[m](rl, dt, name, self.fused)(inp, train)
+                for r in range(1, rl.n):
+                    x = _SIMPLE[m](rl, dt, f"{name}_r{r}",
+                                   self.fused)(x, train)
             elif m == "Concat":
                 x = jnp.concatenate(inp, axis=-1)
             elif m == "Add":
@@ -96,7 +103,32 @@ class TwoStreamDetector(nn.Module):
                 else:
                     x = inp[0] + inp[1][rl.args[0]]
             elif m in ("Upsample", "nn.Upsample"):
-                x = nearest_upsample(inp, 2)
+                # args follow torch nn.Upsample(size, scale_factor, mode)
+                scale = 2
+                mode = "nearest"
+                if len(rl.args) >= 2 and rl.args[1]:
+                    scale = int(rl.args[1])
+                if len(rl.args) >= 3 and isinstance(rl.args[2], str):
+                    mode = rl.args[2]
+                if mode == "nearest":
+                    x = nearest_upsample(inp, scale)
+                else:
+                    from mmidet_tpu.nn.resize import bilinear_resize
+                    x = bilinear_resize(
+                        inp, (inp.shape[1] * scale, inp.shape[2] * scale))
+            elif m == "nn.MaxPool2d":
+                # torch nn.MaxPool2d(kernel_size, stride, padding)
+                k = rl.args[0]
+                st = rl.args[1] if len(rl.args) > 1 and rl.args[1] else k
+                pd = rl.args[2] if len(rl.args) > 2 else 0
+                x = jax.lax.reduce_window(
+                    inp, -jnp.inf, jax.lax.max, (1, k, k, 1),
+                    (1, st, st, 1),
+                    [(0, 0), (pd, pd), (pd, pd), (0, 0)])
+            elif m == "nn.ZeroPad2d":
+                left, right, top, bottom = rl.args[0]
+                x = jnp.pad(inp, ((0, 0), (top, bottom), (left, right),
+                                  (0, 0)))
             elif m == "Contract":
                 x = L.contract(inp, rl.args[0])
             elif m == "Expand":

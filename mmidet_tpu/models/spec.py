@@ -77,7 +77,8 @@ _CONV_LIKE = {"Conv", "GhostConv", "Bottleneck", "GhostBottleneck", "SPP",
               "SPPF", "DWConv", "MixConv2d", "Focus", "CrossConv",
               "BottleneckCSP", "C3", "C3TR"}
 _REPEAT_INSERT = {"BottleneckCSP", "C3", "C3TR"}
-_PASSTHROUGH = {"Upsample", "nn.Upsample", "BatchNorm2d", "nn.BatchNorm2d"}
+_PASSTHROUGH = {"Upsample", "nn.Upsample", "BatchNorm2d", "nn.BatchNorm2d",
+                "nn.MaxPool2d", "nn.ZeroPad2d"}
 KNOWN_MODULES = _CONV_LIKE | _PASSTHROUGH | {
     "Concat", "Add", "Add2", "GPT", "GPT1", "GPT1_fourier", "Detect",
     "Contract", "Expand", "MambaFusion"}
@@ -105,7 +106,7 @@ def resolve(spec: ModelSpec) -> tuple[list[ResolvedLayer], set[int]]:
 
     def ch_of(j: int, i: int) -> int:
         if j == -1:
-            return ch[i - 1]
+            return ch[i - 1] if i > 0 else spec.ch_in
         if j == SECOND_INPUT:
             return spec.ch_in
         return ch[j]
@@ -181,6 +182,22 @@ def load_yolo_yaml(path_or_dict, nc: int | None = None,
         import yaml
         with open(path_or_dict) as fh:
             d = yaml.safe_load(fh)
+    the_nc = nc or d["nc"]
+    anc = anchors or d["anchors"]
+    if isinstance(anc, int):
+        # 'anchors: <na>' yamls (hub/yolov5-p2/p6/p7) leave anchors to
+        # AutoAnchor; synthesize per-level placeholders (the standard P3
+        # triple scaled 2x per level, cycled to na pairs) for the head to
+        # be constructible — utils/autoanchor refits them before training.
+        na = anc
+        detect_rows = [r for r in d["head"] if r[2] == "Detect"]
+        nl = len(detect_rows[-1][0])
+        base = [(10, 13), (16, 30), (33, 23)]
+        anc = [[v * (2 ** i) for p in range(na)
+                for v in base[p % 3]] for i in range(nl)]
+    # reference YAMLs use symbolic args the reference eval()s against the
+    # yaml dict (yolo_test.py:560): we substitute the known symbols instead
+    symbols = {"None": None, "nc": the_nc, "anchors": anc}
     layers = []
     for row in list(d["backbone"]) + list(d["head"]):
         f, n, m, args = row
@@ -188,6 +205,8 @@ def load_yolo_yaml(path_or_dict, nc: int | None = None,
             m = m.split(".")[-1]
         fixed = []
         for a in args:
+            if isinstance(a, str) and a in symbols:
+                a = symbols[a]
             if isinstance(a, str) and a not in ("nearest", "bilinear"):
                 raise ValueError(f"non-literal arg {a!r} in YAML (eval is "
                                  "not supported)")
@@ -198,12 +217,41 @@ def load_yolo_yaml(path_or_dict, nc: int | None = None,
         layers.append(LayerDef(
             f=tuple(f) if isinstance(f, list) else f,
             n=n, name=m, args=tuple(fixed)))
-    anc = anchors or d["anchors"]
-    return ModelSpec(
-        nc=nc or d["nc"],
+    nl = len(anc)
+    spec = ModelSpec(
+        nc=the_nc,
         anchors=tuple(tuple(a) for a in anc),
         layers=tuple(layers),
+        strides=tuple(8 * 2 ** i for i in range(nl)),  # provisional
         depth_multiple=d.get("depth_multiple", 1.0),
         width_multiple=d.get("width_multiple", 1.0),
         ch_in=d.get("ch", 3),
     )
+    return _infer_strides(spec)
+
+
+def _infer_strides(spec: ModelSpec) -> ModelSpec:
+    """Replace the provisional strides with shape-inferred ones (the
+    reference runs a dummy forward and reads 256/ny, yolo_test.py:127 —
+    required for P2/P6/P7/tiny head arrangements). Shape-only: jax
+    eval_shape, no compile, no FLOPs."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmidet_tpu.models.detector import TwoStreamDetector
+
+    model = TwoStreamDetector(spec=spec, use_cem=False, aux_mode="off")
+    size = 256
+    x = jax.ShapeDtypeStruct((1, size, size, spec.ch_in), jnp.float32)
+    two = any((isinstance(l.f, tuple) and SECOND_INPUT in l.f)
+              or l.f == SECOND_INPUT for l in spec.layers)
+
+    def init_out(rng, a, b):
+        return model.init_with_output(rng, a, b, train=False, decode=False)
+
+    rng = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    out, _ = jax.eval_shape(init_out, {"params": rng}, x, x if two else None)
+    strides = tuple(size // t.shape[2] for t in out["train_outs"])
+    if strides == spec.strides:
+        return spec
+    return dataclasses.replace(spec, strides=strides)

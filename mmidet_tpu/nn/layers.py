@@ -74,10 +74,15 @@ class ConvBnAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # kernel may be an int or a (kh, kw) pair (hub yolov3.yaml uses
+        # ``Conv, [512, [1, 1]]``)
+        k = (self.kernel, self.kernel) if isinstance(self.kernel, int) \
+            else tuple(self.kernel)
         p = autopad(self.kernel, self.padding)
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
+        pp = (p, p) if isinstance(p, int) else tuple(p)
+        x = nn.Conv(self.features, k,
                     strides=(self.stride, self.stride),
-                    padding=[(p, p), (p, p)],
+                    padding=[(pp[0], pp[0]), (pp[1], pp[1])],
                     feature_group_count=self.groups,
                     use_bias=self.fused,
                     kernel_init=conv_kernel_init,

@@ -133,3 +133,44 @@ def test_mamba_fusion_model():
     v = model.init(jax.random.PRNGKey(0), rgb, ir)
     out = model.apply(v, rgb, ir)
     assert out["pred"].shape == (1, 252, 7)
+
+
+def test_reference_hub_yamls_load_and_run():
+    """Every YAML the reference ships (models/*.yaml + models/hub/*.yaml:
+    P2/P6/P7 heads, yolov3 family incl. list-kernels and repeat counts,
+    int-anchor specs) must load through load_yolo_yaml and run forward
+    with shape-inferred strides. Ref: parse_model yolo_test.py:548-639."""
+    import glob
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from mmidet_tpu.models.detector import TwoStreamDetector
+    from mmidet_tpu.models.spec import load_yolo_yaml
+
+    ref = "/root/reference/models"
+    if not os.path.isdir(ref):
+        pytest.skip("reference checkout unavailable")
+    yamls = sorted(glob.glob(ref + "/hub/*.yaml")) + \
+        sorted(glob.glob(ref + "/*.yaml"))
+    yamls = [y for y in yamls if not y.endswith("anchors.yaml")]
+    assert len(yamls) >= 17
+    expected_strides = {
+        "yolov3-tiny.yaml": (16, 32),
+        "yolov5s6.yaml": (8, 16, 32, 64),
+        "yolov5-p7.yaml": (8, 16, 32, 64, 128),
+    }
+    for y in yamls:
+        spec = load_yolo_yaml(y, nc=4)
+        model = TwoStreamDetector(spec=spec, use_cem=False, aux_mode="off")
+        x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+        v = model.init({"params": jax.random.PRNGKey(0)}, x, None,
+                       train=False)
+        out = model.apply(v, x, None, train=False)
+        assert out["pred"].ndim == 3 and out["pred"].shape[-1] == 4 + 5
+        name = os.path.basename(y)
+        if name in expected_strides:
+            assert spec.strides == expected_strides[name], (name,
+                                                            spec.strides)
