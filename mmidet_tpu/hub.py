@@ -174,6 +174,22 @@ def yolov5x(nc: int = 80, **kw):
     return _make("yolov5x", nc, **kw)
 
 
+def yolov5s6(nc: int = 80, **kw):
+    return _make("yolov5s6", nc, **kw)
+
+
+def yolov5m6(nc: int = 80, **kw):
+    return _make("yolov5m6", nc, **kw)
+
+
+def yolov5l6(nc: int = 80, **kw):
+    return _make("yolov5l6", nc, **kw)
+
+
+def yolov5x6(nc: int = 80, **kw):
+    return _make("yolov5x6", nc, **kw)
+
+
 def mmidet(nc: int = 6, scale: str = "l", fusion: str = "fuse3_fourier",
            **kw):
     """The two-stream flagship constructor."""

@@ -213,12 +213,68 @@ def single_stream_spec(scale: str = "s", nc: int = 80,
                      depth_multiple=gd, width_multiple=gw)
 
 
+P6_ANCHORS = ((19, 27, 44, 40, 38, 94),
+              (96, 68, 86, 152, 180, 137),
+              (140, 301, 303, 264, 238, 542),
+              (436, 615, 739, 380, 925, 792))
+
+
+def single_stream_p6_spec(scale: str = "s", nc: int = 80,
+                          anchors=P6_ANCHORS) -> ModelSpec:
+    """YOLOv5-P6 (stride-64 fourth level; reference
+    ``models/hub/yolov5{s,m,l,x}6.yaml``)."""
+    L = LayerDef
+    gd, gw = SCALES[scale]
+    layers = [
+        L(-1, 1, "Focus", (64, 3)),            # 0
+        L(-1, 1, "Conv", (128, 3, 2)),         # 1
+        L(-1, 3, "C3", (128,)),                # 2
+        L(-1, 1, "Conv", (256, 3, 2)),         # 3
+        L(-1, 9, "C3", (256,)),                # 4
+        L(-1, 1, "Conv", (512, 3, 2)),         # 5
+        L(-1, 9, "C3", (512,)),                # 6
+        L(-1, 1, "Conv", (768, 3, 2)),         # 7
+        L(-1, 3, "C3", (768,)),                # 8
+        L(-1, 1, "Conv", (1024, 3, 2)),        # 9
+        L(-1, 1, "SPP", (1024, (3, 5, 7))),    # 10
+        L(-1, 3, "C3", (1024, False)),         # 11
+        # head
+        L(-1, 1, "Conv", (768, 1, 1)),         # 12
+        L(-1, 1, "Upsample", (None, 2, "nearest")),  # 13
+        L((-1, 8), 1, "Concat", (1,)),         # 14
+        L(-1, 3, "C3", (768, False)),          # 15
+        L(-1, 1, "Conv", (512, 1, 1)),         # 16
+        L(-1, 1, "Upsample", (None, 2, "nearest")),  # 17
+        L((-1, 6), 1, "Concat", (1,)),         # 18
+        L(-1, 3, "C3", (512, False)),          # 19
+        L(-1, 1, "Conv", (256, 1, 1)),         # 20
+        L(-1, 1, "Upsample", (None, 2, "nearest")),  # 21
+        L((-1, 4), 1, "Concat", (1,)),         # 22
+        L(-1, 3, "C3", (256, False)),          # 23 P3/8
+        L(-1, 1, "Conv", (256, 3, 2)),         # 24
+        L((-1, 20), 1, "Concat", (1,)),        # 25
+        L(-1, 3, "C3", (512, False)),          # 26 P4/16
+        L(-1, 1, "Conv", (512, 3, 2)),         # 27
+        L((-1, 16), 1, "Concat", (1,)),        # 28
+        L(-1, 3, "C3", (768, False)),          # 29 P5/32
+        L(-1, 1, "Conv", (768, 3, 2)),         # 30
+        L((-1, 12), 1, "Concat", (1,)),        # 31
+        L(-1, 3, "C3", (1024, False)),         # 32 P6/64
+        L((23, 26, 29, 32), 1, "Detect", (nc, tuple(anchors))),  # 33
+    ]
+    return ModelSpec(nc=nc, anchors=tuple(anchors), layers=tuple(layers),
+                     strides=(8, 16, 32, 64),
+                     depth_multiple=gd, width_multiple=gw)
+
+
 def _named(name: str) -> ModelSpec:
     """Named model registry: e.g. 'yolov5l_fuse3_fourier', 'yolov5s_gpt4',
     'yolov5m_add', 'yolov5s' (single-stream)."""
     parts = name.split("_", 1)
     scale = parts[0].removeprefix("yolov5")
     if len(parts) == 1:
+        if scale.endswith("6"):
+            return single_stream_p6_spec(scale[:-1])
         return single_stream_spec(scale)
     fusion = {"fuse3": "fourier", "fuse3_fourier": "fourier",
               "fourier": "fourier", "gpt4": "gpt4", "transformer": "gpt4",

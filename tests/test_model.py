@@ -174,3 +174,23 @@ def test_reference_hub_yamls_load_and_run():
         if name in expected_strides:
             assert spec.strides == expected_strides[name], (name,
                                                             spec.strides)
+
+
+def test_p6_zoo_spec():
+    """Native P6 family (reference hub yolov5{s..x}6): 4 detect levels at
+    strides (8,16,32,64)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmidet_tpu.models.detector import TwoStreamDetector
+    from mmidet_tpu.models.zoo import get_model_spec
+
+    spec = get_model_spec("yolov5s6", nc=3)
+    assert spec.strides == (8, 16, 32, 64)
+    assert len(spec.anchors) == 4
+    model = TwoStreamDetector(spec=spec, use_cem=False, aux_mode="off")
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, None, train=False)
+    out = model.apply(v, x, None, train=False)
+    assert len(out["train_outs"]) == 4
+    assert out["train_outs"][3].shape[2] == 128 // 64
