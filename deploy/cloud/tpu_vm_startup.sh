@@ -13,12 +13,22 @@
 # params/optimizer/EMA/epoch — mmidet_tpu/train/checkpoint.py), so the
 # restart path is just tools/resume_all.py over the runs directory.
 
-set -e
+set -u
 cd /home/mmidet 2>/dev/null || { sudo mkdir -p /home/mmidet && cd /home/mmidet; }
+
+# repo URL comes from instance metadata (startup scripts get no custom env):
+#   gcloud ... --metadata mmidet-repo-url=https://github.com/you/mmidet_tpu
+REPO_URL=$(curl -fs -H "Metadata-Flavor: Google" \
+  "http://metadata.google.internal/computeMetadata/v1/instance/attributes/mmidet-repo-url" \
+  || true)
+if [ -z "${REPO_URL}" ]; then
+  echo "mmidet-repo-url metadata missing; nothing to provision" >&2
+  exit 0
+fi
 
 if [ ! -d mmidet_tpu_repo ]; then
   echo "First boot: provisioning."
-  git clone "${MMIDET_REPO_URL:-https://example.com/mmidet_tpu.git}" mmidet_tpu_repo
+  git clone "${REPO_URL}" mmidet_tpu_repo || { echo "clone failed" >&2; exit 1; }
   cd mmidet_tpu_repo
   python3 -m pip install --upgrade pip
   python3 -m pip install "jax[tpu]" \

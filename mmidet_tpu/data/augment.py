@@ -186,17 +186,13 @@ def mosaic4(tiles: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray,
     Reference load_mosaic_RGB_IR (datasets.py:1764-1913): center
     (xc, yc) ~ U(s/2, 3s/2)^2; tile i goes to the i-th quadrant touching the
     center.  Fixed-shape formulation: each tile is placed by translation
-    only; reads outside the canvas clip.
+    only; reads outside the canvas clip.  (The general-warp path; the
+    axis-aligned fast path shares _mosaic_geometry/_mosaic_labels so the
+    two stay bit-identical on geometry.)
     labels: (4, T, 5) [cls, x, y, w, h] normalized per tile.
     Returns canvas (2s,2s,C), labels_xyxy (4*T, 4), cls (4*T,), mask (4*T,).
     """
-    c = jnp.round(jax.random.uniform(key, (2,), minval=0.5 * s,
-                                     maxval=1.5 * s))
-    xc, yc = c[0], c[1]
-
-    # tile top-left offsets: the corner adjacent to the mosaic center touches
-    # (xc, yc); quadrants partition the canvas so composition is a select
-    offs = [(yc - s, xc - s), (yc - s, xc), (yc, xc - s), (yc, xc)]
+    xc, yc, offs = _mosaic_geometry(key, s)
     ys, xs = jnp.meshgrid(jnp.arange(2 * s, dtype=jnp.float32),
                           jnp.arange(2 * s, dtype=jnp.float32),
                           indexing="ij")
@@ -216,20 +212,8 @@ def mosaic4(tiles: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray,
         ti = translated(tiles[i], offs[i][0], offs[i][1])
         canvas = jnp.where((quad == i)[..., None], ti, canvas)
 
-    all_boxes, all_cls, all_mask = [], [], []
-    for i in range(4):
-        ty, tx = offs[i]
-        lab = labels[i]
-        cx, cy = lab[:, 1] * s, lab[:, 2] * s
-        w, h = lab[:, 3] * s, lab[:, 4] * s
-        all_boxes.append(jnp.stack([cx - w / 2 + tx, cy - h / 2 + ty,
-                                    cx + w / 2 + tx, cy + h / 2 + ty],
-                                   axis=-1))
-        all_cls.append(lab[:, 0])
-        all_mask.append(mask[i])
-    boxes = jnp.clip(jnp.concatenate(all_boxes), 0, 2 * s)
-    return (canvas, boxes, jnp.concatenate(all_cls),
-            jnp.concatenate(all_mask))
+    boxes, cls, msk = _mosaic_labels(labels, mask, offs, s)
+    return canvas, boxes, cls, msk
 
 
 def _mosaic_geometry(key: jax.Array, s: int):

@@ -39,11 +39,15 @@ def collate_paired(samples: list[dict], img_size: int = 640,
         n = min(len(lab), max_labels)
         if n:
             l = lab[:n].copy()
-            # normalized in original frame -> normalized in padded frame
-            l[:, 1] = (l[:, 1] * w0 * r + dw) / tw
-            l[:, 2] = (l[:, 2] * h0 * r + dh) / th
-            l[:, 3] = l[:, 3] * w0 * r / tw
-            l[:, 4] = l[:, 4] * h0 * r / th
+            # normalized in original frame -> normalized in padded frame;
+            # nw/nh are the ROUNDED resized extents (what letterbox actually
+            # produced, = s - 2*pad) so labels match the pixels exactly and
+            # the PIL and native collates agree bit-for-bit
+            nw, nh = tw - 2.0 * dw, th - 2.0 * dh
+            l[:, 1] = (l[:, 1] * nw + dw) / tw
+            l[:, 2] = (l[:, 2] * nh + dh) / th
+            l[:, 3] = l[:, 3] * nw / tw
+            l[:, 4] = l[:, 4] * nh / th
             targets[i, :n] = l
             mask[i, :n] = True
         shapes.append((s["shape"], (r, (dw, dh))))
@@ -70,14 +74,14 @@ def collate_mosaic_pool(samples4: list[list[dict]], img_size: int,
             out_i, _, _ = letterbox_np(smp["ir"], (s, s))
             rgb4[b, t], ir4[b, t] = out_r, out_i
             lab = smp["labels"]
-            h0, w0 = smp["shape"]
             n = min(len(lab), max_labels_tile)
             if n:
                 l = lab[:n].copy()
-                l[:, 1] = (l[:, 1] * w0 * r + dw) / s
-                l[:, 2] = (l[:, 2] * h0 * r + dh) / s
-                l[:, 3] = l[:, 3] * w0 * r / s
-                l[:, 4] = l[:, 4] * h0 * r / s
+                nw, nh = s - 2.0 * dw, s - 2.0 * dh  # rounded extents
+                l[:, 1] = (l[:, 1] * nw + dw) / s
+                l[:, 2] = (l[:, 2] * nh + dh) / s
+                l[:, 3] = l[:, 3] * nw / s
+                l[:, 4] = l[:, 4] * nh / s
                 labels4[b, t, :n] = l
                 mask4[b, t, :n] = True
     return {"rgb4": rgb4, "ir4": ir4, "labels4": labels4, "mask4": mask4}

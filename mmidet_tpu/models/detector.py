@@ -41,6 +41,10 @@ class TwoStreamDetector(nn.Module):
     aux_mode: str = "reference"      # 'reference' | 'full' | 'off'
     fused: bool = False              # BN folded into convs (deploy mode)
     pallas_fusion: bool = False      # fused Pallas token-transformer kernel
+    # single-kernel pool+transformer+upsample+Add2 merge (fusion_pallas):
+    # measured at parity with the XLA sequence at Mosaic-compilable tile
+    # sizes on v5e, so off by default — see PERF.md "fusion mega-kernel"
+    merge_fusion_kernel: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -134,12 +138,7 @@ class TwoStreamDetector(nn.Module):
             elif m == "Expand":
                 x = L.expand(inp, rl.args[0])
             elif m == "GPT":
-                # merge_kernel (the single-kernel pool+transformer+upsample+
-                # merge, nn/fusion_pallas.py) measured AT PARITY with the
-                # XLA sequence at its compilable tile sizes on v5e and is
-                # kept off; the token-transformer kernel alone carries the
-                # win (see PERF.md "fusion mega-kernel" entry).
-                merge = False
+                merge = self.merge_fusion_kernel and not train
                 r, i_ = CrossModalTransformer(
                     rl.args[0], use_pallas=self.pallas_fusion,
                     merge_kernel=merge, dtype=dt,

@@ -32,7 +32,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mmidet_tpu.nn.transformer_pallas import _erf, _layernorm
+from mmidet_tpu.nn.transformer_pallas import (_layernorm,
+                                              transformer_layer)
 
 
 def _pool_windows(n_in: int, n_out: int = 8):
@@ -47,22 +48,20 @@ def _pool_windows(n_in: int, n_out: int = 8):
 
 def _upsample_groups(n_in: int, n_out: int):
     """Bilinear (half-pixel, clamped) output runs grouped by (lo, hi) source
-    pair: list of (out_start, out_len, lo, hi, w_hi[np array])."""
+    pair: list of (out_start, out_len, lo, hi).  The fractional weights are
+    reconstructed in-kernel from iota (_frac) — Pallas kernels cannot
+    capture host arrays as constants."""
     scale = n_in / n_out
     lo_hi = []
-    fr = []
     for i in range(n_out):
         src = min(max((i + 0.5) * scale - 0.5, 0.0), n_in - 1)
         lo = int(math.floor(src))
-        hi = min(lo + 1, n_in - 1)
-        lo_hi.append((lo, hi))
-        fr.append(src - lo)
+        lo_hi.append((lo, min(lo + 1, n_in - 1)))
     groups = []
     s = 0
     for i in range(1, n_out + 1):
         if i == n_out or lo_hi[i] != lo_hi[s]:
-            groups.append((s, i - s, lo_hi[s][0], lo_hi[s][1],
-                           np.asarray(fr[s:i], np.float32)))
+            groups.append((s, i - s, lo_hi[s][0], lo_hi[s][1]))
             s = i
     return groups
 
@@ -95,64 +94,26 @@ def _upsample(z, h, w):
     """(8, 8, C) -> (H, W, C) torch-exact bilinear, f32 weights."""
     z32 = z.astype(jnp.float32)
     rows = []
-    for (os_, ol, lo, hi, _) in _upsample_groups(8, h):
+    for (os_, ol, lo, hi) in _upsample_groups(8, h):
         wv = _frac(os_, ol, lo, 8, h, (ol, 1, 1), 0)
         rows.append(z32[lo:lo + 1] * (1.0 - wv) + z32[hi:hi + 1] * wv)
     zh = jnp.concatenate(rows, axis=0)          # (H, 8, C)
     cols = []
-    for (os_, ol, lo, hi, _) in _upsample_groups(8, w):
+    for (os_, ol, lo, hi) in _upsample_groups(8, w):
         wv = _frac(os_, ol, lo, 8, w, (1, ol, 1), 1)
         cols.append(zh[:, lo:lo + 1] * (1.0 - wv) + zh[:, hi:hi + 1] * wv)
     return jnp.concatenate(cols, axis=1).astype(jnp.bfloat16)
 
 
 def _transformer(a, wrefs, lnf_s, lnf_b, num_heads, n_layer):
-    """a: (m, d) bf16 tokens (pos already added). All-resident weights:
-    wrefs[name][l] indexable."""
-    m, d = a.shape
-    h = num_heads
-    dk = d // h
-    inv = 1.0 / math.sqrt(dk)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d), 2)
-    n = 128  # tokens per image
-    tb = m // n
+    """a: (m, d) bf16 tokens (pos already added).  All-resident weights:
+    wrefs[name][l] indexable.  Per-layer math is shared with the
+    token-transformer kernel (transformer_layer) so the two kernels stay
+    numerically in lockstep."""
     for l in range(n_layer):
-        y = _layernorm(a, wrefs["ln1_scale"][l],
-                       wrefs["ln1_bias"][l]).astype(jnp.bfloat16)
-
-        def proj(wn, bn):
-            o = jnp.dot(y, wrefs[wn][l], preferred_element_type=jnp.float32)
-            return (o + wrefs[bn][l].astype(jnp.float32)).astype(jnp.bfloat16)
-
-        q = proj("wq", "bq").reshape(tb, n, d)
-        k = proj("wk", "bk").reshape(tb, n, d)
-        v = proj("wv", "bv").reshape(tb, n, d)
-        o32 = jnp.zeros((tb, n, d), jnp.float32)
-        for g in range(h):
-            mask = (lane // dk == g).astype(jnp.bfloat16)
-            s = jax.lax.dot_general(
-                q * mask, k, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32) * inv
-            p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
-            o32 = o32 + jax.lax.dot_general(
-                p, v * mask, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
-        o = o32.astype(jnp.bfloat16).reshape(m, d)
-        o = jnp.dot(o, wrefs["wo"][l], preferred_element_type=jnp.float32)
-        o = o + wrefs["bo"][l].astype(jnp.float32)
-        a = (a.astype(jnp.float32) + o).astype(jnp.bfloat16)
-
-        y = _layernorm(a, wrefs["ln2_scale"][l],
-                       wrefs["ln2_bias"][l]).astype(jnp.bfloat16)
-        hdn = jnp.dot(y, wrefs["w1"][l], preferred_element_type=jnp.float32)
-        hdn = hdn + wrefs["b1"][l].astype(jnp.float32)
-        hdn = 0.5 * hdn * (1.0 + _erf(hdn * (1.0 / math.sqrt(2.0))))
-        hdn = hdn.astype(jnp.bfloat16)
-        o = jnp.dot(hdn, wrefs["w2"][l], preferred_element_type=jnp.float32)
-        o = o + wrefs["b2"][l].astype(jnp.float32)
-        a = (a.astype(jnp.float32) + o).astype(jnp.bfloat16)
-    a = _layernorm(a, lnf_s[0], lnf_b[0]).astype(jnp.bfloat16)
-    return a
+        ws = {nm: wrefs[nm][l] for nm in wrefs}
+        a = transformer_layer(a, ws, num_heads=num_heads)
+    return _layernorm(a, lnf_s[0], lnf_b[0]).astype(jnp.bfloat16)
 
 
 _WNAMES = ["ln1_scale", "ln1_bias", "wq", "wk", "wv", "bq", "bk", "bv",

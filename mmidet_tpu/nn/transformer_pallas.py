@@ -61,33 +61,35 @@ def _layernorm(x, scale, bias, eps=1e-5):
     return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
 
 
-def _kernel(x_ref, ln1s, ln1b, wq, wk, wv, bq, bk, bv, wo, bo, ln2s, ln2b,
-            w1, b1, w2, b2, out_ref, act, *, num_heads, n_layer):
-    # big (L, ., .) weight matrices are streamed one layer-block at a time
-    # (shape (1, ., .), index [0]); small per-layer vectors are resident in
-    # full (shape (L, .), indexed [l]).
-    l = pl.program_id(1)
+def transformer_layer(a, ws, *, num_heads):
+    """One pre-LN attention+MLP block on (m, d) bf16 tokens (m = tb*128).
 
-    @pl.when(l == 0)
-    def _():
-        act[:] = x_ref[:]
+    ``ws`` holds THIS layer's weight arrays (already indexed out of any
+    stacked/streamed storage): ln1_scale/ln1_bias, wq/wk/wv (each (d,d)),
+    bq/bk/bv, wo/bo, ln2_scale/ln2_bias, w1 (d,4d)/b1, w2 (4d,d)/b2.
 
-    tb, n, d = act.shape
+    Shared by the token-transformer kernel (per-layer weight streaming) and
+    the fused GPT-merge kernel (resident weights) so the numerics stay in
+    lockstep.  Heads with dk < 128 are computed via lane-masked FULL-d
+    contractions (zeroing other heads' columns makes the sum collapse to
+    head g's dk columns exactly) — (.., dk)-shaped tensors would waste
+    dk/128 lanes and every slice would relayout.
+    """
+    m, d = a.shape
     h = num_heads
     dk = d // h
-    m = tb * n
-    a = act[:].reshape(m, d)
 
-    # --- attention ---
-    y = _layernorm(a, ln1s[l], ln1b[l]).astype(jnp.bfloat16)
+    y = _layernorm(a, ws["ln1_scale"], ws["ln1_bias"]).astype(jnp.bfloat16)
 
-    def proj(w, b):
-        o = jnp.dot(y, w[0], preferred_element_type=jnp.float32)
-        return (o + b[l].astype(jnp.float32)).astype(jnp.bfloat16)
+    def proj(wn, bn):
+        o = jnp.dot(y, ws[wn], preferred_element_type=jnp.float32)
+        return (o + ws[bn].astype(jnp.float32)).astype(jnp.bfloat16)
 
-    q = proj(wq, bq).reshape(tb, n, d)
-    k = proj(wk, bk).reshape(tb, n, d)
-    v = proj(wv, bv).reshape(tb, n, d)
+    n = 128  # tokens per image (2 modalities x 8x8 grid)
+    tb = m // n
+    q = proj("wq", "bq").reshape(tb, n, d)
+    k = proj("wk", "bk").reshape(tb, n, d)
+    v = proj("wv", "bv").reshape(tb, n, d)
     inv = 1.0 / math.sqrt(dk)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d), 2)
     o32 = jnp.zeros((tb, n, d), jnp.float32)
@@ -101,21 +103,41 @@ def _kernel(x_ref, ln1s, ln1b, wq, wk, wv, bq, bk, bv, wo, bo, ln2s, ln2b,
             p, v * mask, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)           # (tb, n, d)
     o = o32.astype(jnp.bfloat16).reshape(m, d)
-    o = jnp.dot(o, wo[0], preferred_element_type=jnp.float32)
-    o = o + bo[l].astype(jnp.float32)
+    o = jnp.dot(o, ws["wo"], preferred_element_type=jnp.float32)
+    o = o + ws["bo"].astype(jnp.float32)
     a = (a.astype(jnp.float32) + o).astype(jnp.bfloat16)
 
-    # --- MLP ---
-    y = _layernorm(a, ln2s[l], ln2b[l]).astype(jnp.bfloat16)
-    hdn = jnp.dot(y, w1[0], preferred_element_type=jnp.float32)
-    hdn = hdn + b1[l].astype(jnp.float32)
+    y = _layernorm(a, ws["ln2_scale"], ws["ln2_bias"]).astype(jnp.bfloat16)
+    hdn = jnp.dot(y, ws["w1"], preferred_element_type=jnp.float32)
+    hdn = hdn + ws["b1"].astype(jnp.float32)
     # exact (erf) GELU, as the reference's nn.GELU
     hdn = 0.5 * hdn * (1.0 + _erf(hdn * (1.0 / math.sqrt(2.0))))
     hdn = hdn.astype(jnp.bfloat16)
-    o = jnp.dot(hdn, w2[0], preferred_element_type=jnp.float32)
-    o = o + b2[l].astype(jnp.float32)
-    a = (a.astype(jnp.float32) + o).astype(jnp.bfloat16)
+    o = jnp.dot(hdn, ws["w2"], preferred_element_type=jnp.float32)
+    o = o + ws["b2"].astype(jnp.float32)
+    return (a.astype(jnp.float32) + o).astype(jnp.bfloat16)
 
+
+def _kernel(x_ref, ln1s, ln1b, wq, wk, wv, bq, bk, bv, wo, bo, ln2s, ln2b,
+            w1, b1, w2, b2, out_ref, act, *, num_heads, n_layer):
+    # big (L, ., .) weight matrices are streamed one layer-block at a time
+    # (shape (1, ., .), index [0]); small per-layer vectors are resident in
+    # full (shape (L, .), indexed [l]).
+    l = pl.program_id(1)
+
+    @pl.when(l == 0)
+    def _():
+        act[:] = x_ref[:]
+
+    tb, n, d = act.shape
+    ws = {"ln1_scale": ln1s[l], "ln1_bias": ln1b[l],
+          "wq": wq[0], "wk": wk[0], "wv": wv[0],
+          "bq": bq[l], "bk": bk[l], "bv": bv[l],
+          "wo": wo[0], "bo": bo[l],
+          "ln2_scale": ln2s[l], "ln2_bias": ln2b[l],
+          "w1": w1[0], "b1": b1[l], "w2": w2[0], "b2": b2[l]}
+    a = transformer_layer(act[:].reshape(tb * n, d), ws,
+                          num_heads=num_heads)
     act[:] = a.reshape(tb, n, d)
 
     @pl.when(l == n_layer - 1)

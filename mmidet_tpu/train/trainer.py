@@ -146,9 +146,8 @@ def train(cfg: TrainConfig) -> dict:
                               aux_mode=cfg.aux_mode, dtype=dtype)
     # per-epoch eval runs the fused Pallas token-transformer kernel on TPU
     # (same param tree; 14x on the d>=512 fusion levels — PERF.md)
-    import dataclasses as _dc2
-    eval_model = _dc2.replace(model, pallas_fusion=jax.devices()[0].platform
-                              == "tpu")
+    eval_model = dataclasses.replace(
+        model, pallas_fusion=jax.devices()[0].platform == "tpu")
     val_ds = PairedDataset(data["val_rgb"], data["val_ir"], nc=nc,
                            cache_dir=workdir)
     use_mosaic = hyp.get("mosaic", 1.0) > 0 and cfg.mosaic_prob > 0

@@ -51,7 +51,8 @@ def test_detector_premerge_equivalence():
     spec = two_stream_spec("s", "gpt3", nc=2)
     plain = TwoStreamDetector(spec=spec, aux_mode="off", use_cem=False)
     fusedm = TwoStreamDetector(spec=spec, aux_mode="off", use_cem=False,
-                               pallas_fusion=True)
+                               pallas_fusion=True,
+                               merge_fusion_kernel=True)
     rng = jax.random.PRNGKey(0)
     rgb = jax.random.uniform(rng, (1, 64, 64, 3), jnp.float32)
     ir = 1.0 - rgb
