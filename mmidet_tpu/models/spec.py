@@ -88,6 +88,11 @@ def _abs_from(f, i: int):
     """Resolve relative 'from' refs to absolute layer indices.
     -1 and SECOND_INPUT keep their sentinel meaning."""
     def one(j):
+        if not isinstance(j, int):
+            raise ValueError(
+                f"non-integer 'from' ref {j!r} at layer {i} (the reference's "
+                "parse_model would crash on this too — e.g. the literal 'k' "
+                "typo in yolov5l_fusion_transformer_FLIR_aligned.yaml:73)")
         if j in (-1, SECOND_INPUT):
             return j
         return j if j >= 0 else i + j

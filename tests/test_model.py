@@ -176,6 +176,48 @@ def test_reference_hub_yamls_load_and_run():
                                                             spec.strides)
 
 
+def test_reference_transformer_yamls_load_and_run():
+    """Every two-stream YAML in the reference's models/transformer/ (the 18
+    fusion_add / fusion_transformer / transformerx3 / fuse / fuse3_fourier /
+    FOC variants) must load and shape-check through the compat loader.
+    yolov5l_fusion_transformer_FLIR_aligned.yaml is broken in the reference
+    itself (literal 'k' in a from-ref at line 73 — its parse_model crashes on
+    it too); we require a clear error instead."""
+    import glob
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from mmidet_tpu.models.detector import TwoStreamDetector
+    from mmidet_tpu.models.spec import load_yolo_yaml
+
+    ref = "/root/reference/models/transformer"
+    if not os.path.isdir(ref):
+        pytest.skip("reference checkout unavailable")
+    yamls = sorted(glob.glob(ref + "/*.yaml"))
+    assert len(yamls) == 18
+    ran = 0
+    for y in yamls:
+        name = os.path.basename(y)
+        if name == "yolov5l_fusion_transformer_FLIR_aligned.yaml":
+            with pytest.raises(ValueError, match="non-integer 'from'"):
+                load_yolo_yaml(y)
+            continue
+        spec = load_yolo_yaml(y)
+        model = TwoStreamDetector(spec=spec, aux_mode="off")
+        x = jax.ShapeDtypeStruct((1, 64, 64, 3), jnp.float32)
+        rng = {"params": jax.ShapeDtypeStruct((2,), jnp.uint32)}
+        out, _ = jax.eval_shape(
+            lambda r, a, b: model.init_with_output(r, a, b, train=False,
+                                                   decode=False),
+            rng, x, x)
+        assert len(out["train_outs"]) == spec.nl
+        ran += 1
+    assert ran == 17
+
+
 def test_p6_zoo_spec():
     """Native P6 family (reference hub yolov5{s..x}6): 4 detect levels at
     strides (8,16,32,64)."""
