@@ -40,6 +40,31 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--evolve", type=int, default=0, metavar="GENERATIONS",
                    help="run hyperparameter evolution for N generations "
                         "(reference train.py --evolve, 300 generations)")
+    p.add_argument("--weights", type=str, default="",
+                   help="pretrained weights: torch .pt, deploy bundle dir, "
+                        "or orbax variables dir (tolerant transfer)")
+    p.add_argument("--image-weights", action="store_true",
+                   help="weighted image sampling by (1-mAP)^2 class weights")
+    p.add_argument("--single-cls", action="store_true",
+                   help="train as single-class dataset")
+    p.add_argument("--multi-scale", action="store_true",
+                   help="vary img-size +/-50%% per batch (one XLA compile "
+                        "per size)")
+    p.add_argument("--rect", action="store_true",
+                   help="rectangular (aspect-bucketed) training; disables "
+                        "mosaic")
+    p.add_argument("--notest", action="store_true",
+                   help="only evaluate the final epoch")
+    p.add_argument("--nosave", action="store_true",
+                   help="only checkpoint the final epoch")
+    p.add_argument("--save-period", type=int, default=-1,
+                   help="extra checkpoint every N epochs")
+    p.add_argument("--exist-ok", action="store_true",
+                   help="reuse --project/--name without incrementing")
+    p.add_argument("--workers", type=int, default=2,
+                   help="loader prefetch depth")
+    p.add_argument("--freeze", nargs="+", default=[],
+                   help="param-path substrings to freeze, e.g. backbone_rgb")
     return p
 
 
@@ -54,7 +79,12 @@ def main(argv=None):
         mosaic_prob=0.0 if args.no_mosaic else 1.0,
         use_cem=not args.no_cem, aux_mode=args.aux_mode, dtype=args.dtype,
         seed=args.seed, eval_every=args.eval_every,
-        optimizer_groups=args.optimizer_groups)
+        optimizer_groups=args.optimizer_groups,
+        weights=args.weights, image_weights=args.image_weights,
+        single_cls=args.single_cls, multi_scale=args.multi_scale,
+        rect=args.rect, notest=args.notest, nosave=args.nosave,
+        save_period=args.save_period, exist_ok=args.exist_ok,
+        workers=args.workers, freeze=tuple(args.freeze))
     if args.evolve:
         from mmidet_tpu.train.evolve import evolve
         from mmidet_tpu.train.trainer import load_hyp

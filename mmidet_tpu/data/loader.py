@@ -142,6 +142,7 @@ class MosaicLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.epoch = 0
+        self.image_weights = None  # optional (N,) sampling weights
         if use_native is None:
             use_native = _native.available()
         self.use_native = use_native
@@ -149,10 +150,20 @@ class MosaicLoader:
     def __len__(self):
         return len(self.ds) // self.batch_size
 
+    def set_image_weights(self, weights):
+        """Per-image sampling weights (reference --image-weights,
+        train.py:715-727): next epoch resamples base indices ~ weights."""
+        w = np.asarray(weights, np.float64)
+        self.image_weights = w / w.sum()
+
     def __iter__(self):
         rng = np.random.default_rng(self.seed + self.epoch)
         self.epoch += 1
-        idx = rng.permutation(len(self.ds))
+        if self.image_weights is not None:
+            idx = rng.choice(len(self.ds), size=len(self.ds),
+                             p=self.image_weights)
+        else:
+            idx = rng.permutation(len(self.ds))
         nb = len(self)
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
 

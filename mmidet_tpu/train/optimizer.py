@@ -28,14 +28,21 @@ from mmidet_tpu.train.schedule import (ScheduleConfig, lr_schedule,
 _UNGROUPED = ("pos_emb", "sobel_factor")  # ref leaves these untrained
 
 
-def label_params(params, groups: str = "fixed"):
-    """Label each leaf 'bn' | 'weight' | 'bias' | 'frozen'."""
+def label_params(params, groups: str = "fixed", freeze: tuple = ()):
+    """Label each leaf 'bn' | 'weight' | 'bias' | 'frozen'.
+
+    ``freeze``: substrings matched against the '/'-joined flax param path;
+    matching leaves get zero updates (the reference's ``freeze`` list of
+    ``model.N.`` name prefixes, train.py:556-563)."""
     flat = flax.traverse_util.flatten_dict(params)
     labels = {}
     for path in flat:
         leaf = path[-1]
         parent = path[-2] if len(path) > 1 else ""
-        if leaf in _UNGROUPED:
+        joined = "/".join(path)
+        if freeze and any(f in joined for f in freeze):
+            labels[path] = "frozen"
+        elif leaf in _UNGROUPED:
             labels[path] = "frozen" if groups == "reference" else "bn"
         elif leaf == "bias":
             labels[path] = "bias"
@@ -61,13 +68,14 @@ def _sgd(lr_fn, mom_fn, weight_decay: float = 0.0):
 
 def build_optimizer(params, sched: ScheduleConfig, weight_decay: float,
                     total_batch_size: int, nbs: int = 64,
-                    groups: str = "fixed", accumulate: int | None = None):
+                    groups: str = "fixed", accumulate: int | None = None,
+                    freeze: tuple = ()):
     """Returns (optax transform, labels). ``weight_decay`` is scaled exactly
     as the reference does (train.py:567-569)."""
     if accumulate is None:
         accumulate = max(round(nbs / total_batch_size), 1)
     wd = weight_decay * total_batch_size * accumulate / nbs
-    labels = label_params(params, groups)
+    labels = label_params(params, groups, freeze)
     tx = optax.multi_transform({
         "bn": _sgd(lr_schedule(sched), momentum_schedule(sched)),
         "weight": _sgd(lr_schedule(sched), momentum_schedule(sched), wd),
@@ -81,12 +89,13 @@ def build_optimizer(params, sched: ScheduleConfig, weight_decay: float,
 
 
 def build_adam(params, sched: ScheduleConfig, weight_decay: float,
-               total_batch_size: int, nbs: int = 64, groups: str = "fixed"):
+               total_batch_size: int, nbs: int = 64, groups: str = "fixed",
+               freeze: tuple = ()):
     """The reference's --adam path (train.py:581-582): Adam with beta1 =
     momentum; same group structure."""
     accumulate = max(round(nbs / total_batch_size), 1)
     wd = weight_decay * total_batch_size * accumulate / nbs
-    labels = label_params(params, groups)
+    labels = label_params(params, groups, freeze)
 
     def adam(lr_fn, decay=0.0):
         tx = [optax.add_decayed_weights(decay)] if decay else []

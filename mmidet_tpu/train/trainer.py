@@ -70,6 +70,22 @@ class TrainConfig:
     use_wandb: bool = False
     warmup_floor: int = 1000                # reference's warmup iter floor
     remat: str = ""                         # '' | 'dots' | 'full' (jax.checkpoint)
+    weights: str = ""        # pretrained init: torch .pt | deploy bundle |
+    #                          orbax variables dir (tolerant transfer)
+    image_weights: bool = False  # resample train images by (1-mAP)^2 class
+    #                              weights each epoch (ref train.py:715-727)
+    single_cls: bool = False     # collapse all classes to one (ref --single-cls)
+    multi_scale: bool = False    # random /32 img size in [0.5,1.5]x per batch
+    #                              (ref train.py:778-783; one XLA compile per
+    #                              size — slow first epoch over remote compile)
+    rect: bool = False           # aspect-bucketed train batches (disables
+    #                              mosaic, as the reference does)
+    notest: bool = False         # eval only on the final epoch
+    nosave: bool = False         # checkpoint only on the final epoch
+    save_period: int = -1        # extra checkpoint every N epochs
+    exist_ok: bool = False       # reuse workdir without incrementing
+    workers: int = 2             # loader prefetch depth (ref --workers)
+    freeze: tuple = ()           # param-path substrings to freeze
 
 
 DEFAULT_HYP = {
@@ -105,10 +121,60 @@ def _anchors_grid(spec):
     return jnp.asarray(a / s)
 
 
+def load_pretrained_variables(path: str, template_variables: dict,
+                              spec=None) -> dict:
+    """Load pretrained variables from a torch ``.pt``, a deploy bundle dir,
+    or a bare orbax StandardCheckpointer dir (best-effort by format)."""
+    if path.endswith((".pt", ".pth")):
+        from mmidet_tpu.train.checkpoint import (convert_torch_state_dict,
+                                                 load_torch_checkpoint)
+        sd = load_torch_checkpoint(path, reference_repo="/root/reference"
+                                   if os.path.isdir("/root/reference")
+                                   else None)
+        return convert_torch_state_dict(template_variables, sd)
+    if os.path.isfile(os.path.join(path, "model.json")):
+        from mmidet_tpu.deploy.export import load_deploy_bundle
+        _, variables, _ = load_deploy_bundle(path)
+        return variables
+    import orbax.checkpoint as ocp
+    try:  # a training run's ckpt dir (CheckpointManager layout): prefer EMA
+        with ocp.CheckpointManager(os.path.abspath(path)) as mgr:
+            step = mgr.latest_step()
+            if step is not None:
+                raw = mgr.restore(step, args=ocp.args.Composite(
+                    state=ocp.args.StandardRestore()))["state"]
+                ema = raw.get("ema") or {}
+                return {"params": ema.get("params", raw.get("params")),
+                        "batch_stats": ema.get("batch_stats",
+                                               raw.get("batch_stats"))}
+    except Exception:
+        pass
+    with ocp.StandardCheckpointer() as ckptr:  # bare variables dir
+        return ckptr.restore(os.path.abspath(path))
+
+
+def transfer_matching(template: dict, loaded: dict) -> tuple[dict, int, int]:
+    """Shape-tolerant parameter transfer — the reference's intersect_dicts +
+    strict=False load (train.py:544-547): copy every leaf whose path and
+    shape match; keep the template elsewhere.  Returns (merged, n_copied,
+    n_total)."""
+    import flax
+    tflat = flax.traverse_util.flatten_dict(template)
+    lflat = flax.traverse_util.flatten_dict(loaded)
+    copied = 0
+    for k, v in tflat.items():
+        src = lflat.get(k)
+        if src is not None and tuple(np.shape(src)) == tuple(v.shape):
+            tflat[k] = jnp.asarray(src, v.dtype)
+            copied += 1
+    return flax.traverse_util.unflatten_dict(tflat), copied, len(tflat)
+
+
 def train(cfg: TrainConfig) -> dict:
     """Run training; returns summary dict with best fitness and workdir."""
     hyp = load_hyp(cfg.hyp)
-    workdir = increment_path(cfg.workdir) if not cfg.resume else cfg.resume
+    workdir = increment_path(cfg.workdir, cfg.exist_ok) if not cfg.resume \
+        else cfg.resume
     os.makedirs(workdir, exist_ok=True)
     with open(os.path.join(workdir, "hyp.yaml"), "w") as fh:
         yaml.safe_dump(hyp, fh)
@@ -116,15 +182,21 @@ def train(cfg: TrainConfig) -> dict:
         yaml.safe_dump(dataclasses.asdict(cfg), fh)
 
     data = load_data_yaml(cfg.data)
-    nc = int(data["nc"])
-    names = data.get("names", [str(i) for i in range(nc)])
+    nc = 1 if cfg.single_cls else int(data["nc"])
+    names = ["item"] if cfg.single_cls else \
+        data.get("names", [str(i) for i in range(nc)])
     img_size = check_img_size(cfg.img_size)
 
     spec = _spec_from_cfg(cfg, nc)
     dtype = getattr(jnp, cfg.dtype)
 
-    train_ds = PairedDataset(data["train_rgb"], data["train_ir"], nc=nc,
+    train_ds = PairedDataset(data["train_rgb"], data["train_ir"],
+                             nc=None if cfg.single_cls else nc,
                              cache_dir=workdir)
+    if cfg.single_cls:  # ref --single-cls: all labels -> class 0
+        for lab in train_ds.labels:
+            if len(lab):
+                lab[:, 0] = 0.0
 
     # pre-training anchor fit check (reference train.py:678-679)
     if cfg.autoanchor:
@@ -148,17 +220,31 @@ def train(cfg: TrainConfig) -> dict:
     # (same param tree; 14x on the d>=512 fusion levels — PERF.md)
     eval_model = dataclasses.replace(
         model, pallas_fusion=jax.devices()[0].platform == "tpu")
-    val_ds = PairedDataset(data["val_rgb"], data["val_ir"], nc=nc,
+    val_ds = PairedDataset(data["val_rgb"], data["val_ir"],
+                           nc=None if cfg.single_cls else nc,
                            cache_dir=workdir)
-    use_mosaic = hyp.get("mosaic", 1.0) > 0 and cfg.mosaic_prob > 0
+    if cfg.single_cls:
+        for lab in val_ds.labels:
+            if len(lab):
+                lab[:, 0] = 0.0
+    # rect disables mosaic, exactly as the reference
+    # (datasets.py: mosaic = augment and not rect)
+    use_mosaic = (hyp.get("mosaic", 1.0) > 0 and cfg.mosaic_prob > 0
+                  and not cfg.rect)
     if use_mosaic:
         loader = MosaicLoader(train_ds, cfg.batch_size, img_size,
-                              seed=cfg.seed)
+                              seed=cfg.seed, prefetch=cfg.workers)
+    elif cfg.rect:
+        from mmidet_tpu.data.loader import RectLoader
+        loader = RectLoader(train_ds, cfg.batch_size, img_size,
+                            cfg.max_labels)
     else:
         loader = PairedLoader(train_ds, cfg.batch_size, img_size,
-                              cfg.max_labels, shuffle=True, seed=cfg.seed)
+                              cfg.max_labels, shuffle=True, seed=cfg.seed,
+                              prefetch=cfg.workers)
     val_loader_fn = lambda: PairedLoader(val_ds, cfg.batch_size, img_size,
-                                         cfg.max_labels, drop_last=False)
+                                         cfg.max_labels, drop_last=False,
+                                         prefetch=cfg.workers)
     steps_per_epoch = max(len(loader), 1)
 
     aug_hyp = AugmentHyp(
@@ -189,8 +275,22 @@ def train(cfg: TrainConfig) -> dict:
     build = build_adam if cfg.adam else build_optimizer
     tx, _ = build(variables["params"], sched, hyp["weight_decay"],
                   total_batch_size=cfg.batch_size,
-                  groups=cfg.optimizer_groups)
+                  groups=cfg.optimizer_groups, freeze=tuple(cfg.freeze))
     state = init_state(model, tx, jax.random.PRNGKey(cfg.seed), small, small)
+    if cfg.weights:  # pretrained init (ref --weights + intersect_dicts)
+        loaded = load_pretrained_variables(cfg.weights,
+                                           {"params": state.params,
+                                            "batch_stats": state.batch_stats})
+        merged, n_cp, n_tot = transfer_matching(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            loaded)
+        logger.info("transferred %d/%d items from %s", n_cp, n_tot,
+                    cfg.weights)
+        state = dataclasses.replace(
+            state, params=merged["params"],
+            batch_stats=merged["batch_stats"],
+            ema={**state.ema, "params": merged["params"],
+                 "batch_stats": merged["batch_stats"]})
     anchors = _anchors_grid(spec)
     step_fn = jax.jit(make_train_step(model, tx, anchors, loss_hyp,
                                       ema_decay=cfg.ema_decay,
@@ -225,6 +325,10 @@ def train(cfg: TrainConfig) -> dict:
                 len(train_ds), cfg.epochs, steps_per_epoch)
 
     plotted_batches = 0
+    ms_rng = np.random.default_rng(cfg.seed + 2)
+    gs = int(max(spec.strides))
+    from mmidet_tpu.nn.resize import bilinear_resize
+    _ms_resize = jax.jit(bilinear_resize, static_argnums=1)
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
         mloss = np.zeros(3)
@@ -237,6 +341,15 @@ def train(cfg: TrainConfig) -> dict:
                 if im_key in jb:
                     jb[im_key] = jb[im_key].astype(jnp.float32) / 255.0
             jb = augment(jb, k_aug)
+            if cfg.multi_scale:
+                # ref train.py:778-783: random /gs size in [0.5, 1.5]x,
+                # bilinear batch resize; labels are normalized -> unchanged.
+                # Each distinct size is one extra XLA compile (cached).
+                sz = int(ms_rng.integers(img_size // 2 // gs,
+                                         img_size * 3 // 2 // gs + 1) * gs)
+                if sz != jb["rgb"].shape[1]:
+                    jb["rgb"] = _ms_resize(jb["rgb"], (sz, sz))
+                    jb["ir"] = _ms_resize(jb["ir"], (sz, sz))
             if plotted_batches < 3:  # first train batches w/ boxes
                 try:                 # (ref train.py:816-817, plots.py:128)
                     from mmidet_tpu.utils.plots import plot_images
@@ -257,7 +370,15 @@ def train(cfg: TrainConfig) -> dict:
         mloss /= max(nb, 1)
 
         res = None
-        if (epoch + 1) % cfg.eval_every == 0 or epoch == cfg.epochs - 1:
+        final = epoch == cfg.epochs - 1
+        do_eval = (((epoch + 1) % cfg.eval_every == 0 or final)
+                   and (not cfg.notest or final))
+        if cfg.save_period > 0 and (epoch + 1) % cfg.save_period == 0 \
+                and not do_eval:
+            save_checkpoint(ckpt_dir, state, epoch,
+                            metadata={"epoch": epoch,
+                                      "best_fitness": best_fit})
+        if do_eval:
             ema_vars = {"params": state.ema["params"],
                         "batch_stats": state.ema["batch_stats"]}
             res = evaluate(eval_model, ema_vars, val_loader_fn(), nc,
@@ -265,10 +386,24 @@ def train(cfg: TrainConfig) -> dict:
             fit = float(fitness(res.fitness_vector())[0])
             if fit > best_fit:
                 best_fit = fit
-            save_checkpoint(ckpt_dir, state, epoch,
-                            metadata={"epoch": epoch,
-                                      "best_fitness": best_fit,
-                                      "fitness": fit})
+            if not cfg.nosave or final:
+                save_checkpoint(ckpt_dir, state, epoch,
+                                metadata={"epoch": epoch,
+                                          "best_fitness": best_fit,
+                                          "fitness": fit})
+            if cfg.image_weights and not final:
+                # ref train.py:715-727: cw = class_weights*(1-maps)^2;
+                # resample next epoch's indices ~ image weights
+                from mmidet_tpu.utils.general import (
+                    labels_to_class_weights, labels_to_image_weights)
+                maps = np.zeros(nc)
+                for i, nm in enumerate(names):
+                    maps[i] = res.per_class.get(nm, {}).get("ap", 0.0)
+                cw = labels_to_class_weights(train_ds.labels, nc)
+                iw = labels_to_image_weights(train_ds.labels, nc,
+                                             cw * (1 - maps) ** 2)
+                if hasattr(loader, "set_image_weights") and iw.sum() > 0:
+                    loader.set_image_weights(iw)
             with open(results_path, "a") as fh:
                 fh.write(
                     f"{epoch}/{cfg.epochs - 1} "

@@ -1,0 +1,114 @@
+"""Reference train-CLI flag parity: --weights / --freeze / --single-cls /
+--multi-scale / --image-weights / --rect / --notest / --nosave.
+Ref surface: train.py:948-983 argparse + their behaviors in train_rgb_ir."""
+
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+
+@pytest.fixture(scope="module")
+def data_yaml(tmp_path_factory):
+    from mmidet_tpu.data.synthetic import make_synthetic_pair_dataset
+    root = tmp_path_factory.mktemp("synth_flags")
+    return make_synthetic_pair_dataset(str(root), n=6, img=96)
+
+
+def test_freeze_labels_and_zero_update():
+    import jax.numpy as jnp
+    import optax
+    from mmidet_tpu.train.optimizer import build_optimizer, label_params
+    from mmidet_tpu.train.schedule import ScheduleConfig
+
+    params = {"backbone_rgb": {"layer0": {"kernel": jnp.ones((3, 4))}},
+              "head": {"layer1": {"kernel": jnp.ones((4, 2)),
+                                  "bias": jnp.zeros((2,))}}}
+    labels = label_params(params, freeze=("backbone_rgb",))
+    assert labels["backbone_rgb"]["layer0"]["kernel"] == "frozen"
+    assert labels["head"]["layer1"]["kernel"] == "weight"
+
+    sched = ScheduleConfig(epochs=1, steps_per_epoch=2)
+    tx, _ = build_optimizer(params, sched, weight_decay=0.0,
+                            total_batch_size=64,
+                            freeze=("backbone_rgb",))
+    st = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    new = params
+    for _ in range(3):  # step past warmup's lr=0 at step 0
+        upd, st = tx.update(grads, st, new)
+        new = optax.apply_updates(new, upd)
+    assert np.allclose(new["backbone_rgb"]["layer0"]["kernel"],
+                       params["backbone_rgb"]["layer0"]["kernel"])
+    assert not np.allclose(new["head"]["layer1"]["kernel"],
+                           params["head"]["layer1"]["kernel"])
+
+
+def test_transfer_matching_shape_tolerant():
+    import jax.numpy as jnp
+    from mmidet_tpu.train.trainer import transfer_matching
+
+    template = {"params": {"a": {"kernel": jnp.zeros((3, 3))},
+                           "b": {"kernel": jnp.zeros((2, 2))}}}
+    loaded = {"params": {"a": {"kernel": np.ones((3, 3))},
+                         "b": {"kernel": np.ones((5, 5))}}}  # shape mismatch
+    merged, n_cp, n_tot = transfer_matching(template, loaded)
+    assert (n_cp, n_tot) == (1, 2)
+    assert np.allclose(merged["params"]["a"]["kernel"], 1.0)
+    assert np.allclose(merged["params"]["b"]["kernel"], 0.0)
+
+
+def test_single_cls_multi_scale_notest_nosave(data_yaml, tmp_path):
+    from mmidet_tpu.train.trainer import TrainConfig, train
+    cfg = TrainConfig(
+        model="yolov5s_add", data=data_yaml, epochs=2, batch_size=2,
+        img_size=64, workdir=str(tmp_path / "runs/exp"), mosaic_prob=0.0,
+        dtype="float32", single_cls=True, multi_scale=True, notest=True,
+        nosave=True, autoanchor=False, freeze=("backbone_ir",))
+    out = train(cfg)
+    # single_cls: evaluator saw 1 class
+    assert out["nc"] == 1 and out["names"] == ["item"]
+    # notest: only the final epoch evaluated -> one results line
+    lines = open(os.path.join(out["workdir"], "results.txt")).read()
+    assert lines.count("\n") == 1
+    # nosave: only the final epoch checkpointed
+    import orbax.checkpoint as ocp
+    with ocp.CheckpointManager(
+            os.path.abspath(os.path.join(out["workdir"], "ckpt"))) as mgr:
+        assert list(mgr.all_steps()) == [1]
+    assert out["best_fitness"] is not None
+
+
+def test_weights_transfer_and_image_weights(data_yaml, tmp_path):
+    from mmidet_tpu.train.trainer import (TrainConfig, train,
+                                          load_pretrained_variables)
+    first = TrainConfig(
+        model="yolov5s_add", data=data_yaml, epochs=1, batch_size=2,
+        img_size=64, workdir=str(tmp_path / "runs/first"), mosaic_prob=0.0,
+        dtype="float32", autoanchor=False)
+    out1 = train(first)
+    ckpt = os.path.join(out1["workdir"], "ckpt")
+
+    loaded = load_pretrained_variables(
+        ckpt, {"params": None, "batch_stats": None})
+    assert "params" in loaded and loaded["params"]
+
+    second = TrainConfig(
+        model="yolov5s_add", data=data_yaml, epochs=2, batch_size=2,
+        img_size=64, workdir=str(tmp_path / "runs/second"),
+        mosaic_prob=0.0, dtype="float32", autoanchor=False,
+        weights=ckpt, image_weights=True, eval_every=1)
+    out2 = train(second)
+    assert os.path.isfile(os.path.join(out2["workdir"], "results.txt"))
+
+
+def test_rect_training_smoke(data_yaml, tmp_path):
+    from mmidet_tpu.train.trainer import TrainConfig, train
+    cfg = TrainConfig(
+        model="yolov5s_add", data=data_yaml, epochs=1, batch_size=2,
+        img_size=64, workdir=str(tmp_path / "runs/rect"), dtype="float32",
+        rect=True, autoanchor=False, notest=False)
+    out = train(cfg)
+    assert out["best_fitness"] >= 0 or out["best_fitness"] == -1.0
