@@ -34,6 +34,12 @@ def build_parser():
     p.add_argument("--name", type=str, default="exp")
     p.add_argument("--save-txt", action="store_true")
     p.add_argument("--nosave", action="store_true")
+    p.add_argument("--augment", action="store_true",
+                   help="TTA inference (3 scale/flip passes)")
+    p.add_argument("--agnostic-nms", action="store_true",
+                   help="class-agnostic NMS")
+    p.add_argument("--classes", type=int, nargs="+", default=None,
+                   help="filter detections to these class ids")
     return p
 
 
@@ -55,10 +61,20 @@ def main(argv=None):
 
     @jax.jit
     def _infer(variables, rgb, ir):
-        out = model.apply(variables, rgb, ir, train=False)
-        return non_max_suppression(out["pred"].astype(jnp.float32),
+        def fwd(r, i):
+            return model.apply(variables, r, i, train=False)["pred"]
+        if args.augment:  # TTA (ref detect_twostream.py --augment)
+            from mmidet_tpu.models.tta import forward_tta
+            pred = forward_tta(fwd, rgb, ir,
+                               gs=int(max(model.spec.strides)))
+        else:
+            pred = fwd(rgb, ir)
+        return non_max_suppression(pred.astype(jnp.float32),
                                    conf_thres=args.conf_thres,
-                                   iou_thres=args.iou_thres)
+                                   iou_thres=args.iou_thres,
+                                   agnostic=args.agnostic_nms,
+                                   classes=tuple(args.classes)
+                                   if args.classes else None)
 
     def infer(rgb, ir):
         return _infer(variables, rgb, ir)

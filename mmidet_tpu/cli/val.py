@@ -62,6 +62,8 @@ def build_parser():
     p.add_argument("--rect", action="store_true",
                    help="aspect-bucketed rectangular eval (reference "
                         "rect=True pad=0.5)")
+    p.add_argument("--augment", action="store_true",
+                   help="TTA eval (3 scale/flip passes, ref --augment)")
     return p
 
 
@@ -81,7 +83,8 @@ def main(argv=None):
         res = evaluate(model, variables, loader, nc,
                        conf_thres=args.conf_thres, iou_thres=args.iou_thres,
                        names=names, verbose=True,
-                       save_json=args.save_json or None)
+                       save_json=args.save_json or None,
+                       augment=args.augment)
         print(json.dumps({"P": res.mp, "R": res.mr, "mAP50": res.map50,
                           "mAP75": res.map75, "mAP": res.map,
                           "speed_ms": res.speed_ms[0]}))

@@ -23,19 +23,29 @@ from mmidet_tpu.ops.nms import non_max_suppression
 _INFER_CACHE: dict = {}
 
 
-def _get_infer(model, conf_thres, iou_thres, max_det, two_stream):
+def _get_infer(model, conf_thres, iou_thres, max_det, two_stream,
+               augment=False):
     try:
-        key = (model, conf_thres, iou_thres, max_det, two_stream)
+        key = (model, conf_thres, iou_thres, max_det, two_stream, augment)
         hash(key)
     except TypeError:
-        key = (id(model), conf_thres, iou_thres, max_det, two_stream)
+        key = (id(model), conf_thres, iou_thres, max_det, two_stream,
+               augment)
     if key not in _INFER_CACHE:
         @jax.jit
         def infer(variables, rgb, ir):
-            out = model.apply(variables, rgb, ir, train=False) \
-                if two_stream else model.apply(variables, rgb, train=False)
+            def fwd(r, i=None):
+                out = model.apply(variables, r, i, train=False) \
+                    if two_stream else model.apply(variables, r, train=False)
+                return out["pred"]
+            if augment:  # TTA (ref test.py --augment)
+                from mmidet_tpu.models.tta import forward_tta
+                pred = forward_tta(fwd, rgb, ir if two_stream else None,
+                                   gs=int(max(model.spec.strides)))
+            else:
+                pred = fwd(rgb, ir) if two_stream else fwd(rgb)
             return non_max_suppression(
-                out["pred"].astype(jnp.float32), conf_thres=conf_thres,
+                pred.astype(jnp.float32), conf_thres=conf_thres,
                 iou_thres=iou_thres, max_det=max_det, multi_label=True)
         _INFER_CACHE[key] = infer
     return _INFER_CACHE[key]
@@ -72,17 +82,20 @@ def evaluate(model, variables, loader, nc: int,
              conf_thres: float = 0.001, iou_thres: float = 0.6,
              max_det: int = 300, names=None, two_stream: bool = True,
              verbose: bool = False, save_json: str | None = None,
-             confusion_dir: str | None = None) -> EvalResults:
+             confusion_dir: str | None = None,
+             augment: bool = False) -> EvalResults:
     """``save_json``: optional COCO-format detection dump (ref test.py
     --save-json).  ``confusion_dir``: write an IoU-matched confusion matrix
-    (ref test.py ConfusionMatrix + plot)."""
+    (ref test.py ConfusionMatrix + plot).  ``augment``: TTA — three
+    scale/flip passes concatenated before NMS (ref test.py --augment)."""
     iouv = np.linspace(0.5, 0.95, 10)
     json_records = []
     cm = None
     if confusion_dir is not None:
         from mmidet_tpu.eval.metrics import ConfusionMatrix
         cm = ConfusionMatrix(nc)
-    infer_fn = _get_infer(model, conf_thres, iou_thres, max_det, two_stream)
+    infer_fn = _get_infer(model, conf_thres, iou_thres, max_det, two_stream,
+                          augment)
 
     def infer(rgb, ir):
         return infer_fn(variables, rgb, ir)

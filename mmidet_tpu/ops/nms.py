@@ -27,6 +27,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mmidet_tpu.ops.boxes import xywh2xyxy
 
@@ -69,7 +70,7 @@ def _nms_single(boxes: jnp.ndarray, scores: jnp.ndarray, classes: jnp.ndarray,
 @functools.partial(
     jax.jit,
     static_argnames=("conf_thres", "iou_thres", "max_det", "pre_nms_topk",
-                     "multi_label", "agnostic", "max_wh"),
+                     "multi_label", "agnostic", "max_wh", "classes"),
 )
 def non_max_suppression(prediction: jnp.ndarray,
                         conf_thres: float = 0.25,
@@ -78,7 +79,8 @@ def non_max_suppression(prediction: jnp.ndarray,
                         pre_nms_topk: int = 4096,
                         multi_label: bool = False,
                         agnostic: bool = False,
-                        max_wh: float = 4096.0):
+                        max_wh: float = 4096.0,
+                        classes: tuple | None = None):
     """Batched fixed-shape NMS.
 
     Args:
@@ -92,11 +94,18 @@ def non_max_suppression(prediction: jnp.ndarray,
     """
     nc = prediction.shape[2] - 5
     use_multi = multi_label and nc > 1
+    cls_keep = None
+    if classes is not None:  # ref classes filter (general.py:540-542)
+        sel = np.zeros((nc,), bool)
+        sel[list(classes)] = True
+        cls_keep = jnp.asarray(sel)
 
     def per_image(x):
         boxes_xywh = x[:, :4]
         obj = x[:, 4]
         cls_conf = x[:, 5:] * obj[:, None]  # conf = obj_conf * cls_conf
+        if cls_keep is not None:
+            cls_conf = jnp.where(cls_keep[None, :], cls_conf, 0.0)
         boxes = xywh2xyxy(boxes_xywh)
 
         if use_multi:
