@@ -69,7 +69,7 @@ class AutoShapeModel:
     detections in original coordinates (ref autoShape)."""
 
     def __init__(self, model, variables, names, img_size=640,
-                 conf=0.25, iou=0.45, two_stream=False):
+                 conf=0.25, iou=0.45, two_stream=False, augment=False):
         self.model = model
         self.variables = variables
         self.names = names
@@ -77,11 +77,20 @@ class AutoShapeModel:
         self.conf = conf
         self.iou = iou
         self.two_stream = two_stream
+        self.augment = augment  # TTA (ref autoShape.forward(augment=...))
 
         @jax.jit
         def infer(variables, *imgs):
-            out = model.apply(variables, *imgs, train=False)
-            return non_max_suppression(out["pred"].astype(jnp.float32),
+            def fwd(*ims):
+                return model.apply(variables, *ims, train=False)["pred"]
+            if self.augment:
+                from mmidet_tpu.models.tta import forward_tta
+                pred = forward_tta(fwd, imgs[0],
+                                   imgs[1] if two_stream else None,
+                                   gs=int(max(model.spec.strides)))
+            else:
+                pred = fwd(*imgs)
+            return non_max_suppression(pred.astype(jnp.float32),
                                        conf_thres=self.conf,
                                        iou_thres=self.iou)
         self._infer = lambda *imgs: infer(self.variables, *imgs)
