@@ -103,3 +103,38 @@ def load_deploy_bundle(path: str):
         variables = ckptr.restore(
             os.path.abspath(os.path.join(path, "variables")))
     return spec, variables, meta
+
+
+def main(argv=None):
+    """Export CLI — the reference's ``models/export.py`` __main__
+    (export.py:24-127): weights in, deployable artifacts out."""
+    import argparse
+
+    from mmidet_tpu.utils.general import set_logging
+
+    p = argparse.ArgumentParser("mmidet-tpu export")
+    p.add_argument("--cfg", type=str, default="yolov5l_fuse3_fourier",
+                   help="zoo model name or model YAML path")
+    p.add_argument("--weights", type=str, default="",
+                   help="orbax deploy dir or torch .pt (blank: fresh init)")
+    p.add_argument("--nc", type=int, default=6)
+    p.add_argument("--names", type=str, nargs="*", default=None)
+    p.add_argument("--img-size", type=int, default=640)
+    p.add_argument("--out", type=str, default="runs/export/bundle")
+    args = p.parse_args(argv)
+    set_logging()
+
+    from mmidet_tpu.cli.val import load_model_and_vars
+    model, variables, spec = load_model_and_vars(args.cfg, args.weights,
+                                                 args.nc)
+    path = export_deploy_bundle(args.out, model, variables, spec,
+                                names=args.names, img_size=args.img_size)
+    have_hlo = os.path.isfile(os.path.join(path, "model.stablehlo"))
+    print(f"exported deploy bundle -> {path} "
+          f"(StableHLO: {'yes' if have_hlo else 'unavailable on this '
+                         'backend — see stablehlo_export_error.txt'})")
+    return path
+
+
+if __name__ == "__main__":
+    main()
