@@ -64,9 +64,11 @@ def main():
 
     import numpy as np
     float(np.asarray(loop(variables, rgb, ir)))  # compile + warmup
-    t0 = time.perf_counter()
-    float(np.asarray(loop(variables, rgb, ir)))
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(3):  # best-of-3: tunnel jitter is one-sided (slow-only)
+        t0 = time.perf_counter()
+        float(np.asarray(loop(variables, rgb, ir)))
+        dt = min(dt, time.perf_counter() - t0)
     img_s = batch * iters / dt
     pred = jax.jit(lambda v, r, i: model.apply(
         v, r, i, train=False)["pred"])(variables, rgb, ir)

@@ -45,13 +45,16 @@ def main():
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     img = 640
+    scale = "s"
+    if "--scale" in sys.argv:
+        scale = sys.argv[sys.argv.index("--scale") + 1]
     rng = jax.random.PRNGKey(0)
     rgb = jax.random.uniform(rng, (batch, img, img, 3), jnp.bfloat16)
     ir = jax.random.uniform(rng, (batch, img, img, 3), jnp.bfloat16)
     small = jnp.zeros((1, 64, 64, 3), jnp.float32)
 
     def build(fusion="gpt4", use_cem=True, pallas=False):
-        spec = two_stream_spec("s", fusion, nc=6)
+        spec = two_stream_spec(scale, fusion, nc=6)
         base = TwoStreamDetector(spec=spec, aux_mode="off", use_cem=use_cem,
                                  dtype=jnp.bfloat16)
         model = TwoStreamDetector(spec=spec, aux_mode="off", use_cem=use_cem,
@@ -70,21 +73,38 @@ def main():
         "no_cem": lambda: build("gpt4", False),
         "add_fusion": lambda: build("add", True),
         "add_no_cem": lambda: build("add", False),
+        "fourier": lambda: build("fourier", True),
+        "fourier_pallas": lambda: build("fourier", True, pallas=True),
+        "fourier_no_cem": lambda: build("fourier", False, pallas=True),
     }
     sel = None
     if "--variants" in sys.argv:
         sel = sys.argv[sys.argv.index("--variants") + 1].split(",")
+
+    cost = "--cost" in sys.argv  # XLA cost analysis (FLOPs + bytes accessed)
 
     results = {}
     for k, f in variants.items():
         if sel and k not in sel:
             continue
         model, v = f()
+        if cost:
+            lowered = jax.jit(lambda v, r, i: model.apply(
+                v, r, i, train=False)["pred"]).lower(v, rgb, ir)
+            ca = lowered.compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, list) else ca
+            print(f"{k:14s}: {ca.get('flops', 0) / 1e12:7.2f} TFLOP  "
+                  f"{ca.get('bytes accessed', 0) / 1e9:7.2f} GB "
+                  f"per batch-{batch}", flush=True)
         dt = timed(model, v, rgb, ir)
         results[k] = dt
+        extra = ""
+        if cost:
+            extra = (f"  [{ca.get('flops', 0) / dt / 1e12:5.1f} TF/s, "
+                     f"{ca.get('bytes accessed', 0) / dt / 1e9:5.0f} GB/s]")
         print(f"{k:14s}: {dt * 1e3:8.2f} ms/batch  "
               f"{dt / batch * 1e3:6.3f} ms/img  "
-              f"{batch / dt:7.0f} img/s", flush=True)
+              f"{batch / dt:7.0f} img/s{extra}", flush=True)
 
     # no-decode ablation on the full model (Detect decode cost)
     if sel is None or "full" in (sel or []):
