@@ -50,3 +50,14 @@ def test_val_cli(data_yaml):
     res = main(["--cfg", "yolov5s_add", "--data", data_yaml,
                 "--batch-size", "2", "--img-size", "64"])
     assert 0.0 <= res.map50 <= 1.0
+
+
+def test_export_cli(tmp_path):
+    """mmidet-export writes a loadable deploy bundle (ref export.py:24-127)."""
+    from mmidet_tpu.deploy.export import main, load_deploy_bundle
+    out = main(["--cfg", "yolov5s_add", "--nc", "2", "--img-size", "64",
+                "--out", str(tmp_path / "bundle"),
+                "--names", "thing", "stuff"])
+    spec, variables, meta = load_deploy_bundle(out)
+    assert meta["names"] == ["thing", "stuff"]
+    assert "params" in variables
