@@ -154,8 +154,44 @@ def _kernel(x_ref, ln1s, ln1b, wq, wk, wv, bq, bk, bv, wo, bo, ln2s, ln2b,
         out_ref[:] = act[:]
 
 
+def _kernel_lmajor(x_ref, ln1s, ln1b, wq, wk, wv, bq, bk, bv, wo, bo,
+                   ln2s, ln2b, w1, b1, w2, b2, out_ref, act, *,
+                   num_heads, n_layer, tb):
+    """Layer-major variant: grid = (L, batch_tiles), full-batch activation
+    scratch.  The weight blocks' index depends only on ``l``, so Pallas
+    fetches each layer's matrices ONCE per call instead of once per batch
+    tile — the batch-major grid re-streams (B/tb)x the weight bytes, which
+    dominates at d >= 512 (25 MB/layer at d=1024: 3.2 GB of redundant DMA
+    per batch-32 flagship call, ~40% of the FFM slice's traffic)."""
+    l = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(l == 0)
+    def _():
+        act[pl.ds(i * tb, tb)] = x_ref[:]
+
+    _, n, d = act.shape
+    ws = {"ln1_scale": ln1s[l], "ln1_bias": ln1b[l],
+          "wq": wq[0], "wk": wk[0], "wv": wv[0],
+          "bq": bq[l], "bk": bk[l], "bv": bv[l],
+          "wo": wo[0], "bo": bo[l],
+          "ln2_scale": ln2s[l], "ln2_bias": ln2b[l],
+          "w1": w1[0], "b1": b1[l], "w2": w2[0], "b2": b2[l]}
+    a = transformer_layer(act[pl.ds(i * tb, tb)].reshape(tb * n, d), ws,
+                          num_heads=num_heads)
+    act[pl.ds(i * tb, tb)] = a.reshape(tb, n, d)
+
+    @pl.when(l == n_layer - 1)
+    def _():
+        out_ref[:] = act[pl.ds(i * tb, tb)]
+
+
 def _tile_b(b: int, d: int) -> int:
-    want = {64: 16, 128: 16, 256: 8}.get(d, 4 if d <= 512 else 2)
+    # d>=512 tiles sized for the layer-major VMEM budget (~100 MB): the
+    # per-grid-step matmuls are M=tb*128 — tb=2 left every step
+    # issue-overhead-bound (measured ~190 us/step for ~65 us of math at
+    # d=1024).
+    want = {64: 16, 128: 16, 256: 8, 512: 8}.get(d, 4)
     while b % want:
         want //= 2
     return max(want, 1)
@@ -174,22 +210,30 @@ def fused_token_transformer(x: jnp.ndarray, stacked: dict,
     b, n, d = x.shape
     L = stacked["wq"].shape[0]
     tb = _tile_b(b, d)
-    grid = (b // tb, L)
+    # layer-major grid (weights stream once per layer, not once per batch
+    # tile) whenever the lanes are full AND the weight blocks are big enough
+    # to matter.  d < 256 keeps the batch-major grid: its weights are tiny,
+    # and a d=64 full-batch scratch would be lane-packed (sub-128 lanes),
+    # whose dim-0 ref slicing Mosaic rejects.
+    lmajor = d >= 256
 
     def wspec(shape):
         if len(shape) == 1:
             # small per-layer vectors: resident in full (Mosaic requires
             # sublane-divisible blocks otherwise), indexed [l] in-kernel
             return pl.BlockSpec(memory_space=pltpu.VMEM)
-        # big matrices: one layer's block per step; Pallas pipelines l+1
-        return pl.BlockSpec((1,) + shape,
-                            lambda i, l: (l,) + (0,) * len(shape),
-                            memory_space=pltpu.VMEM)
+        # big matrices: one layer's block per step; Pallas pipelines the
+        # next block and skips the DMA when the block index is unchanged
+        zeros = (0,) * len(shape)
+        ix = (lambda l, i, z=zeros: (l,) + z) if lmajor else \
+             (lambda i, l, z=zeros: (l,) + z)
+        return pl.BlockSpec((1,) + shape, ix, memory_space=pltpu.VMEM)
 
     names = ["ln1_scale", "ln1_bias", "wq", "wk", "wv", "bq", "bk", "bv",
              "wo", "bo", "ln2_scale", "ln2_bias", "w1", "b1", "w2", "b2"]
-    in_specs = [pl.BlockSpec((tb, n, d), lambda i, l: (i, 0, 0),
-                             memory_space=pltpu.VMEM)]
+    tile_ix = (lambda l, i: (i, 0, 0)) if lmajor else \
+              (lambda i, l: (i, 0, 0))
+    in_specs = [pl.BlockSpec((tb, n, d), tile_ix, memory_space=pltpu.VMEM)]
     ops = [x.astype(jnp.bfloat16)]
     for nm in names:
         arr = stacked[nm]
@@ -197,16 +241,30 @@ def fused_token_transformer(x: jnp.ndarray, stacked: dict,
         ops.append(arr.astype(wdt))
         in_specs.append(wspec(arr.shape[1:]))
 
+    if lmajor:
+        kernel = functools.partial(_kernel_lmajor, num_heads=num_heads,
+                                   n_layer=L, tb=tb)
+        grid = (L, b // tb)
+        scratch = pltpu.VMEM((b, n, d), jnp.bfloat16)  # full batch resident
+        # d>=512: act + double-buffered layer weights + tb-sized workspace
+        # need more than the 64 MB default (v5e physical VMEM is 128 MB)
+        vmem = 100 * 1024 * 1024 if d >= 512 else 64 * 1024 * 1024
+    else:
+        kernel = functools.partial(_kernel, num_heads=num_heads, n_layer=L)
+        grid = (b // tb, L)
+        scratch = pltpu.VMEM((tb, n, d), jnp.bfloat16)
+        vmem = 64 * 1024 * 1024
+
     return pl.pallas_call(
-        functools.partial(_kernel, num_heads=num_heads, n_layer=L),
+        kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((tb, n, d), lambda i, l: (i, 0, 0),
+        out_specs=pl.BlockSpec((tb, n, d), tile_ix,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, d), jnp.bfloat16),
-        scratch_shapes=[pltpu.VMEM((tb, n, d), jnp.bfloat16)],
+        scratch_shapes=[scratch],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=vmem),
         interpret=interpret,
     )(*ops)
 
