@@ -127,11 +127,22 @@ def transformer_layer(a, ws, *, num_heads):
     return (a.astype(jnp.float32) + o).astype(jnp.bfloat16)
 
 
-def _kernel(x_ref, ln1s, ln1b, wq, wk, wv, bq, bk, bv, wo, bo, ln2s, ln2b,
-            w1, b1, w2, b2, out_ref, act, *, num_heads, n_layer):
-    # big (L, ., .) weight matrices are streamed one layer-block at a time
-    # (shape (1, ., .), index [0]); small per-layer vectors are resident in
-    # full (shape (L, .), indexed [l]).
+def _layer_ws(l, ln1s, ln1b, wq, wk, wv, bq, bk, bv, wo, bo, ln2s, ln2b,
+              w1, b1, w2, b2):
+    """Weight dict for layer ``l``: big (L,.,.) matrices are streamed one
+    layer-block at a time (shape (1,.,.), index [0]); small per-layer
+    vectors are resident in full (shape (L,.), indexed [l]).  Shared by
+    both grid variants so their numerics stay in lockstep."""
+    return {"ln1_scale": ln1s[l], "ln1_bias": ln1b[l],
+            "wq": wq[0], "wk": wk[0], "wv": wv[0],
+            "bq": bq[l], "bk": bk[l], "bv": bv[l],
+            "wo": wo[0], "bo": bo[l],
+            "ln2_scale": ln2s[l], "ln2_bias": ln2b[l],
+            "w1": w1[0], "b1": b1[l], "w2": w2[0], "b2": b2[l]}
+
+
+def _kernel(x_ref, *refs, num_heads, n_layer):
+    *wrefs, out_ref, act = refs
     l = pl.program_id(1)
 
     @pl.when(l == 0)
@@ -139,13 +150,7 @@ def _kernel(x_ref, ln1s, ln1b, wq, wk, wv, bq, bk, bv, wo, bo, ln2s, ln2b,
         act[:] = x_ref[:]
 
     tb, n, d = act.shape
-    ws = {"ln1_scale": ln1s[l], "ln1_bias": ln1b[l],
-          "wq": wq[0], "wk": wk[0], "wv": wv[0],
-          "bq": bq[l], "bk": bk[l], "bv": bv[l],
-          "wo": wo[0], "bo": bo[l],
-          "ln2_scale": ln2s[l], "ln2_bias": ln2b[l],
-          "w1": w1[0], "b1": b1[l], "w2": w2[0], "b2": b2[l]}
-    a = transformer_layer(act[:].reshape(tb * n, d), ws,
+    a = transformer_layer(act[:].reshape(tb * n, d), _layer_ws(l, *wrefs),
                           num_heads=num_heads)
     act[:] = a.reshape(tb, n, d)
 
@@ -154,15 +159,14 @@ def _kernel(x_ref, ln1s, ln1b, wq, wk, wv, bq, bk, bv, wo, bo, ln2s, ln2b,
         out_ref[:] = act[:]
 
 
-def _kernel_lmajor(x_ref, ln1s, ln1b, wq, wk, wv, bq, bk, bv, wo, bo,
-                   ln2s, ln2b, w1, b1, w2, b2, out_ref, act, *,
-                   num_heads, n_layer, tb):
+def _kernel_lmajor(x_ref, *refs, num_heads, n_layer, tb):
     """Layer-major variant: grid = (L, batch_tiles), full-batch activation
     scratch.  The weight blocks' index depends only on ``l``, so Pallas
     fetches each layer's matrices ONCE per call instead of once per batch
     tile — the batch-major grid re-streams (B/tb)x the weight bytes, which
     dominates at d >= 512 (25 MB/layer at d=1024: 3.2 GB of redundant DMA
     per batch-32 flagship call, ~40% of the FFM slice's traffic)."""
+    *wrefs, out_ref, act = refs
     l = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -171,14 +175,8 @@ def _kernel_lmajor(x_ref, ln1s, ln1b, wq, wk, wv, bq, bk, bv, wo, bo,
         act[pl.ds(i * tb, tb)] = x_ref[:]
 
     _, n, d = act.shape
-    ws = {"ln1_scale": ln1s[l], "ln1_bias": ln1b[l],
-          "wq": wq[0], "wk": wk[0], "wv": wv[0],
-          "bq": bq[l], "bk": bk[l], "bv": bv[l],
-          "wo": wo[0], "bo": bo[l],
-          "ln2_scale": ln2s[l], "ln2_bias": ln2b[l],
-          "w1": w1[0], "b1": b1[l], "w2": w2[0], "b2": b2[l]}
-    a = transformer_layer(act[pl.ds(i * tb, tb)].reshape(tb * n, d), ws,
-                          num_heads=num_heads)
+    a = transformer_layer(act[pl.ds(i * tb, tb)].reshape(tb * n, d),
+                          _layer_ws(l, *wrefs), num_heads=num_heads)
     act[pl.ds(i * tb, tb)] = a.reshape(tb, n, d)
 
     @pl.when(l == n_layer - 1)
@@ -211,11 +209,15 @@ def fused_token_transformer(x: jnp.ndarray, stacked: dict,
     L = stacked["wq"].shape[0]
     tb = _tile_b(b, d)
     # layer-major grid (weights stream once per layer, not once per batch
-    # tile) whenever the lanes are full AND the weight blocks are big enough
-    # to matter.  d < 256 keeps the batch-major grid: its weights are tiny,
+    # tile) whenever the lanes are full AND everything fits the VMEM
+    # budget.  d < 256 keeps the batch-major grid: its weights are tiny,
     # and a d=64 full-batch scratch would be lane-packed (sub-128 lanes),
-    # whose dim-0 ref slicing Mosaic rejects.
-    lmajor = d >= 256
+    # whose dim-0 ref slicing Mosaic rejects.  The full-batch scratch grows
+    # with b — (act + double-buffered layer weights) must stay under the
+    # 100 MB limit (v5e physical VMEM is 128 MB), else fall back.
+    layer_bytes = 2 * (4 * d * d + 2 * d * 4 * d)  # qkv/o + mlp, bf16
+    act_bytes = 2 * b * n * d
+    lmajor = d >= 256 and act_bytes + 2 * layer_bytes < 90 * 1024 * 1024
 
     def wspec(shape):
         if len(shape) == 1:
@@ -231,9 +233,16 @@ def fused_token_transformer(x: jnp.ndarray, stacked: dict,
 
     names = ["ln1_scale", "ln1_bias", "wq", "wk", "wv", "bq", "bk", "bv",
              "wo", "bo", "ln2_scale", "ln2_bias", "w1", "b1", "w2", "b2"]
-    tile_ix = (lambda l, i: (i, 0, 0)) if lmajor else \
-              (lambda i, l: (i, 0, 0))
-    in_specs = [pl.BlockSpec((tb, n, d), tile_ix, memory_space=pltpu.VMEM)]
+    if lmajor:
+        # freeze the tile index on inactive steps: x is read only at l==0
+        # and out written only at l==L-1; an index that kept changing with
+        # ``i`` would make Pallas re-DMA the tiles once per LAYER sweep
+        # (L x the activation bytes in each direction).
+        x_ix = lambda l, i: (jnp.where(l == 0, i, 0), 0, 0)
+        out_ix = lambda l, i: (jnp.where(l == L - 1, i, 0), 0, 0)
+    else:
+        x_ix = out_ix = lambda i, l: (i, 0, 0)
+    in_specs = [pl.BlockSpec((tb, n, d), x_ix, memory_space=pltpu.VMEM)]
     ops = [x.astype(jnp.bfloat16)]
     for nm in names:
         arr = stacked[nm]
@@ -247,7 +256,7 @@ def fused_token_transformer(x: jnp.ndarray, stacked: dict,
         grid = (L, b // tb)
         scratch = pltpu.VMEM((b, n, d), jnp.bfloat16)  # full batch resident
         # d>=512: act + double-buffered layer weights + tb-sized workspace
-        # need more than the 64 MB default (v5e physical VMEM is 128 MB)
+        # need more than the 64 MB default
         vmem = 100 * 1024 * 1024 if d >= 512 else 64 * 1024 * 1024
     else:
         kernel = functools.partial(_kernel, num_heads=num_heads, n_layer=L)
@@ -259,7 +268,7 @@ def fused_token_transformer(x: jnp.ndarray, stacked: dict,
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((tb, n, d), tile_ix,
+        out_specs=pl.BlockSpec((tb, n, d), out_ix,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, d), jnp.bfloat16),
         scratch_shapes=[scratch],
