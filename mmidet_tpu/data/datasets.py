@@ -166,11 +166,18 @@ class PairedDataset:
 
 
 def load_data_yaml(path: str) -> dict:
-    """Dataset YAML with train_rgb/val_rgb/train_ir/val_ir/nc/names keys
-    (ref data/multispectral/*.yaml)."""
+    """Dataset YAML, either two-stream (train_rgb/val_rgb/train_ir/val_ir,
+    ref data/multispectral/*.yaml) or single-stream (train/val, ref
+    data/coco.yaml-style).  Single-stream yamls are normalized onto the
+    paired keys with the one modality aliased (so every loader path is
+    shared) and marked ``single_stream: True``."""
     import yaml
     with open(path) as fh:
         d = yaml.safe_load(fh)
+    if "train_rgb" not in d and "train" in d:
+        d["train_rgb"] = d["train_ir"] = d["train"]
+        d["val_rgb"] = d["val_ir"] = d.get("val", d["train"])
+        d["single_stream"] = True
     for k in ("train_rgb", "train_ir", "val_rgb", "val_ir"):
         if k not in d:
             raise KeyError(f"dataset yaml missing {k}")

@@ -84,6 +84,14 @@ KNOWN_MODULES = _CONV_LIKE | _PASSTHROUGH | {
     "Contract", "Expand", "MambaFusion"}
 
 
+def is_two_stream(spec: ModelSpec) -> bool:
+    """True if any layer consumes the second (IR) input (the reference's
+    ``-4`` routing, yolo_test.py:222-223); single-stream specs (yolo.py
+    models) have no such ref."""
+    return any((isinstance(l.f, tuple) and SECOND_INPUT in l.f)
+               or l.f == SECOND_INPUT for l in spec.layers)
+
+
 def _abs_from(f, i: int):
     """Resolve relative 'from' refs to absolute layer indices.
     -1 and SECOND_INPUT keep their sentinel meaning."""
@@ -248,8 +256,7 @@ def _infer_strides(spec: ModelSpec) -> ModelSpec:
     model = TwoStreamDetector(spec=spec, use_cem=False, aux_mode="off")
     size = 256
     x = jax.ShapeDtypeStruct((1, size, size, spec.ch_in), jnp.float32)
-    two = any((isinstance(l.f, tuple) and SECOND_INPUT in l.f)
-              or l.f == SECOND_INPUT for l in spec.layers)
+    two = is_two_stream(spec)
 
     def init_out(rng, a, b):
         return model.init_with_output(rng, a, b, train=False, decode=False)

@@ -214,8 +214,14 @@ def train(cfg: TrainConfig) -> dict:
             logger.info("autoanchor updated anchors: %s", flat)
             spec = _dc.replace(spec, anchors=flat)
 
-    model = TwoStreamDetector(spec=spec, use_cem=cfg.use_cem,
-                              aux_mode=cfg.aux_mode, dtype=dtype)
+    from mmidet_tpu.models.spec import is_two_stream
+    two_stream = is_two_stream(spec)
+    # single-stream models (reference models/yolo.py, trained by the legacy
+    # train() driver, train.py:45-473) carry no CEM and no fusion aux losses
+    use_cem = cfg.use_cem and two_stream
+    aux_mode = cfg.aux_mode if two_stream else "off"
+    model = TwoStreamDetector(spec=spec, use_cem=use_cem,
+                              aux_mode=aux_mode, dtype=dtype)
     # per-epoch eval runs the fused Pallas token-transformer kernel on TPU
     # (same param tree; 14x on the d>=512 fusion levels — PERF.md)
     eval_model = dataclasses.replace(

@@ -61,3 +61,22 @@ def test_export_cli(tmp_path):
     spec, variables, meta = load_deploy_bundle(out)
     assert meta["names"] == ["thing", "stuff"]
     assert "params" in variables
+
+
+def test_train_cli_single_stream(data_yaml, tmp_path):
+    """The reference's legacy single-stream driver (train.py:45-473):
+    plain train/val dataset yaml + a no-fusion single-stream model."""
+    import yaml
+    d = yaml.safe_load(open(data_yaml))
+    ss_yaml = str(tmp_path / "ss.yaml")
+    with open(ss_yaml, "w") as fh:
+        yaml.safe_dump({"train": d["train_rgb"], "val": d["val_rgb"],
+                        "nc": d["nc"], "names": d["names"]}, fh)
+    from mmidet_tpu.cli.train import main
+    out = main([
+        "--cfg", "yolov5s", "--data", ss_yaml,
+        "--epochs", "1", "--batch-size", "2", "--img-size", "64",
+        "--project", str(tmp_path / "runs"), "--name", "ss",
+        "--no-mosaic", "--dtype", "float32",
+    ])
+    assert os.path.isfile(os.path.join(out["workdir"], "results.txt"))
