@@ -92,3 +92,36 @@ def fold_batchnorm(variables: dict) -> dict:
     if new_s:
         out["batch_stats"] = new_s
     return out
+
+
+def sparsity(variables: dict) -> float:
+    """Global fraction of zero weights over all conv kernels.
+    Ref: utils/torch_utils.py:163-167 (``sparsity``)."""
+    import jax
+    zeros = total = 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(variables)[0]:
+        name = str(path[-1])
+        if leaf.ndim == 4 and "kernel" in name:
+            zeros += int(jnp.sum(leaf == 0))
+            total += leaf.size
+    return zeros / max(total, 1)
+
+
+def prune_variables(variables: dict, amount: float = 0.3) -> dict:
+    """L1-unstructured pruning: per conv kernel, zero the smallest-|w|
+    ``amount`` fraction.  Ref: utils/torch_utils.py:170-178 (``prune`` —
+    torch.nn.utils.prune.l1_unstructured per Conv2d, made permanent).
+    Returns a new variables pytree; shapes unchanged (sparse-in-dense),
+    so the model/jit/checkpoint paths are oblivious."""
+    import jax
+
+    def leaf_prune(path, leaf):
+        name = str(path[-1])
+        if leaf.ndim != 4 or "kernel" not in name or amount <= 0:
+            return leaf
+        absw = jnp.abs(leaf)
+        thresh = jnp.quantile(absw.reshape(-1).astype(jnp.float32), amount)
+        return jnp.where(absw >= thresh.astype(leaf.dtype), leaf,
+                         jnp.zeros_like(leaf))
+
+    return jax.tree_util.tree_map_with_path(leaf_prune, variables)

@@ -50,3 +50,25 @@ def test_fold_batchnorm_drops_folded_stats():
     assert any(path[-1] == "bias" and path[-2] == "conv" for path in flat)
     assert any(path[-1] == "conv_bias" for path in flat)  # Focus
     assert "batch_stats" not in fv  # nothing left unfolded in this family
+
+
+def test_prune_variables_sparsity():
+    """prune_variables zeroes ~amount of each conv kernel and the model
+    still runs (ref torch_utils.py:170-178 prune + sparsity)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mmidet_tpu.models.detector import TwoStreamDetector
+    from mmidet_tpu.models.zoo import two_stream_spec
+    from mmidet_tpu.nn.fuse import prune_variables, sparsity
+
+    spec = two_stream_spec("s", "add", nc=2)
+    model = TwoStreamDetector(spec=spec, aux_mode="off")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, x, train=False)
+    assert sparsity(v) < 0.05
+    pruned = prune_variables(v, amount=0.3)
+    s = sparsity(pruned)
+    assert 0.25 < s < 0.35, s
+    out = model.apply(pruned, x, x, train=False)
+    assert np.all(np.isfinite(np.asarray(out["pred"], np.float32)))
