@@ -68,7 +68,24 @@ def load_labels(label_path: str, nc: int | None = None) -> np.ndarray:
         rows = [line.split() for line in fh.read().splitlines() if line]
     if not rows:
         return np.zeros((0, 5), np.float32)
-    lab = np.asarray(rows, np.float32)
+    if any(len(r) > 5 for r in rows):
+        # segment labels: cls x1 y1 x2 y2 ... -> min/max box, as the
+        # reference's cache_labels (datasets.py:885-891, segments2boxes /
+        # segment2box, general.py:349-365); 5-field rows stay plain boxes
+        out = []
+        for r in rows:
+            if len(r) == 5:
+                out.append([float(v) for v in r])
+                continue
+            cls = float(r[0])
+            pts = np.asarray(r[1:], np.float32).reshape(-1, 2)
+            x0, y0 = pts.min(0)
+            x1, y1 = pts.max(0)
+            out.append([cls, (x0 + x1) / 2, (y0 + y1) / 2,
+                        x1 - x0, y1 - y0])
+        lab = np.asarray(out, np.float32)
+    else:
+        lab = np.asarray(rows, np.float32)
     assert lab.shape[1] == 5, f"labels require 5 columns: {label_path}"
     assert (lab >= 0).all(), f"negative labels: {label_path}"
     assert (lab[:, 1:] <= 1).all(), \

@@ -76,3 +76,17 @@ def test_checkpoint_roundtrip(tmp_path):
                        "batch_stats": deploy["batch_stats"]},
                       batch["rgb"], batch["ir"], train=False)
     assert np.isfinite(np.asarray(out["pred"])).all()
+
+
+def test_segment_labels_to_boxes(tmp_path):
+    """Polygon (segment) label rows convert to min/max boxes, as the
+    reference cache_labels does via segments2boxes (datasets.py:885-891)."""
+    import numpy as np
+    from mmidet_tpu.data.datasets import load_labels
+    p = tmp_path / "img.txt"
+    p.write_text("0 0.2 0.2 0.8 0.2 0.8 0.6 0.2 0.6\n"   # quad -> box
+                 "1 0.1 0.1 0.3 0.5\n")                   # plain row kept
+    lab = load_labels(str(p), nc=2)
+    assert lab.shape == (2, 5)
+    np.testing.assert_allclose(lab[0], [0, 0.5, 0.4, 0.6, 0.4], atol=1e-6)
+    np.testing.assert_allclose(lab[1], [1, 0.1, 0.1, 0.3, 0.5], atol=1e-6)
