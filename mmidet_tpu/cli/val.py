@@ -59,6 +59,9 @@ def build_parser():
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--save-json", type=str, default="",
                    help="dump COCO-format detections to this path")
+    p.add_argument("--coco91", action="store_true",
+                   help="map class ids to COCO-paper 91-index ids in the "
+                        "JSON (ref coco80_to_coco91_class)")
     p.add_argument("--rect", action="store_true",
                    help="aspect-bucketed rectangular eval (reference "
                         "rect=True pad=0.5)")
@@ -84,7 +87,7 @@ def main(argv=None):
                        conf_thres=args.conf_thres, iou_thres=args.iou_thres,
                        names=names, verbose=True,
                        save_json=args.save_json or None,
-                       augment=args.augment)
+                       augment=args.augment, coco91=args.coco91)
         print(json.dumps({"P": res.mp, "R": res.mr, "mAP50": res.map50,
                           "mAP75": res.map75, "mAP": res.map,
                           "speed_ms": res.speed_ms[0]}))

@@ -15,7 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mmidet_tpu.eval.metrics import ap_per_class, match_predictions
+from mmidet_tpu.eval.metrics import (ap_per_class, coco80_to_coco91_class,
+                                      match_predictions)
 from mmidet_tpu.ops.nms import non_max_suppression
 
 # persistent jit cache: defining the jitted infer inside evaluate() would
@@ -83,13 +84,17 @@ def evaluate(model, variables, loader, nc: int,
              max_det: int = 300, names=None, two_stream: bool = True,
              verbose: bool = False, save_json: str | None = None,
              confusion_dir: str | None = None,
-             augment: bool = False) -> EvalResults:
+             augment: bool = False, coco91: bool = False) -> EvalResults:
     """``save_json``: optional COCO-format detection dump (ref test.py
     --save-json).  ``confusion_dir``: write an IoU-matched confusion matrix
     (ref test.py ConfusionMatrix + plot).  ``augment``: TTA — three
-    scale/flip passes concatenated before NMS (ref test.py --augment)."""
+    scale/flip passes concatenated before NMS (ref test.py --augment).
+    ``coco91``: map 80-index class ids to the COCO-paper 91-index ids in
+    the JSON (ref test.py:91 coco80_to_coco91_class, applied when the
+    dataset is COCO)."""
     iouv = np.linspace(0.5, 0.95, 10)
     json_records = []
+    cls_map = coco80_to_coco91_class() if coco91 else None
     cm = None
     if confusion_dir is not None:
         from mmidet_tpu.eval.metrics import ConfusionMatrix
@@ -147,7 +152,8 @@ def evaluate(model, variables, loader, nc: int,
                 for x1, y1, x2, y2, conf, cls in d:
                     json_records.append({
                         "image_id": image_id,
-                        "category_id": int(cls),
+                        "category_id": cls_map[int(cls)] if cls_map
+                        else int(cls),
                         "bbox": [float(x1), float(y1),
                                  float(x2 - x1), float(y2 - y1)],
                         "score": float(conf)})

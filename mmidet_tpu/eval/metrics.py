@@ -145,3 +145,12 @@ class ConfusionMatrix:
             for i, dc in enumerate(det_classes):
                 if not (m1 == i).any():
                     self.matrix[dc, self.nc] += 1  # background FN
+
+
+def coco80_to_coco91_class() -> list[int]:
+    """COCO 80-index (detection order) -> 91-index (paper category ids)
+    mapping — the standard table of valid category ids with the 11 unused
+    ids skipped.  Ref: general.py:299-308, applied to COCO JSON dumps
+    (test.py:91,169)."""
+    skipped = {12, 26, 29, 30, 45, 66, 68, 69, 71, 83, 91}
+    return [i for i in range(1, 92) if i not in skipped]
