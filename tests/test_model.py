@@ -236,3 +236,27 @@ def test_p6_zoo_spec():
     out = model.apply(v, x, None, train=False)
     assert len(out["train_outs"]) == 4
     assert out["train_outs"][3].shape[2] == 128 // 64
+
+
+def test_baseline_config_scales_shape_check():
+    """The BASELINE.json smoke configs at their stated scales (x+mamba,
+    m two-stream, l+fourier) build and produce correctly-shaped decodes —
+    shape-level (jax.eval_shape, no compile) so all three stay cheap."""
+    import jax
+    import jax.numpy as jnp
+    from mmidet_tpu.models.detector import TwoStreamDetector
+    from mmidet_tpu.models.zoo import get_model_spec
+
+    for name in ["yolov5x_mamba", "yolov5m_gpt4", "yolov5l_fuse3_fourier"]:
+        spec = get_model_spec(name, nc=6)
+        model = TwoStreamDetector(spec=spec, aux_mode="off")
+        x = jax.ShapeDtypeStruct((2, 128, 128, 3), jnp.float32)
+
+        def init_out(rng, a, b):
+            return model.init_with_output(rng, a, b, train=False)
+
+        rng = jax.ShapeDtypeStruct((2,), jnp.uint32)
+        out, _ = jax.eval_shape(init_out, {"params": rng}, x, x)
+        n_anchors = sum(3 * (128 // s) ** 2 for s in spec.strides)
+        assert out["pred"].shape == (2, n_anchors, 11), (name,
+                                                         out["pred"].shape)
