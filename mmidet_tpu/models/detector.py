@@ -138,7 +138,11 @@ class TwoStreamDetector(nn.Module):
             elif m == "Expand":
                 x = L.expand(inp, rl.args[0])
             elif m == "GPT":
-                merge = self.merge_fusion_kernel and not train
+                from mmidet_tpu.nn.fusion_pallas import \
+                    merge_kernel_supported
+                merge = (self.merge_fusion_kernel and not train
+                         and merge_kernel_supported(
+                             inp[0].shape[1], inp[0].shape[2], rl.args[0]))
                 r, i_ = CrossModalTransformer(
                     rl.args[0], use_pallas=self.pallas_fusion,
                     merge_kernel=merge, dtype=dt,

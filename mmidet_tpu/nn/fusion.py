@@ -289,7 +289,9 @@ class CrossModalTransformer(nn.Module):
     @nn.compact
     def __call__(self, rgb, ir, train: bool = False):
         h, w = rgb.shape[1], rgb.shape[2]
-        if self.merge_kernel and not train:
+        from mmidet_tpu.nn.fusion_pallas import merge_kernel_supported
+        if (self.merge_kernel and not train
+                and merge_kernel_supported(h, w, self.d_model)):
             from mmidet_tpu.nn.fusion_pallas import fused_gpt_merge
             from mmidet_tpu.nn.transformer_pallas import stack_block_params
             pos, blocks, lnf = _TransP(self.d_model, self.n_layer,

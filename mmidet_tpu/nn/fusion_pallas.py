@@ -32,7 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mmidet_tpu.nn.transformer_pallas import (_layernorm,
+from mmidet_tpu.nn.transformer_pallas import (_layer_ws, _layernorm,
                                               transformer_layer)
 
 
@@ -173,6 +173,82 @@ def _kernel(rgb_hbm, ir_hbm, pos, lnf_s, lnf_b, *wops_and_outs,
         cp.wait()
 
 
+def _kernel_stream(rgb_hbm, ir_hbm, pos, lnf_s, lnf_b, *refs,
+                   h, w, tb, num_heads, n_layer):
+    """Layer-major streaming variant: grid = (L, batch_tiles).
+
+    The resident-weight kernel (_kernel) holds all L layers' matrices in
+    VMEM — infeasible at d=1024 (200 MB) and re-streams nothing; this
+    variant streams ONE layer's weight blocks per grid step (Pallas
+    double-buffers the DMA, and the block index depends only on ``l`` so
+    each layer's matrices are fetched once per call, not once per batch
+    tile).  Token activations for the FULL batch persist in a VMEM
+    scratch across the layer sweep; the streams are DMA'd in twice (pool
+    at l==0, merge at l==L-1) and out once — still 2 fewer full-map HBM
+    round-trips than the XLA pool->kernel->upsample->merge glue.
+    """
+    n_w = len(_WNAMES)
+    wrefs = refs[:n_w]
+    rgb_out, ir_out = refs[n_w:n_w + 2]
+    act = refs[n_w + 2]
+    bufs = refs[n_w + 3:-1]
+    sem = refs[-1]
+    rgb_v, ir_v = bufs[:tb], bufs[tb:]
+    l = pl.program_id(0)
+    i = pl.program_id(1)
+    c = rgb_v[0].shape[-1]
+
+    def dma_streams_in():
+        cps = []
+        for j in range(tb):
+            cps.append(pltpu.make_async_copy(
+                rgb_hbm.at[i * tb + j], rgb_v[j], sem.at[2 * j]))
+            cps.append(pltpu.make_async_copy(
+                ir_hbm.at[i * tb + j], ir_v[j], sem.at[2 * j + 1]))
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
+
+    @pl.when(l == 0)
+    def _():
+        dma_streams_in()
+        toks = []
+        for j in range(tb):
+            toks.append(_pool8(rgb_v[j][:], h, w))
+            toks.append(_pool8(ir_v[j][:], h, w))
+        tok = jnp.concatenate(toks, axis=0)           # (tb*128, C)
+        posb = jnp.concatenate([pos[0]] * tb, axis=0)
+        tok = (tok.astype(jnp.float32) + posb.astype(jnp.float32)
+               ).astype(jnp.bfloat16)
+        act[pl.ds(i * tb, tb)] = tok.reshape(tb, 128, c)
+
+    a = transformer_layer(act[pl.ds(i * tb, tb)].reshape(tb * 128, c),
+                          _layer_ws(l, *wrefs), num_heads=num_heads)
+    act[pl.ds(i * tb, tb)] = a.reshape(tb, 128, c)
+
+    @pl.when(l == n_layer - 1)
+    def _():
+        dma_streams_in()
+        af = _layernorm(act[pl.ds(i * tb, tb)].reshape(tb * 128, c),
+                        lnf_s[0], lnf_b[0]).astype(jnp.bfloat16)
+        for j in range(tb):
+            zr = af[j * 128:j * 128 + 64].reshape(8, 8, c)
+            zi = af[j * 128 + 64:(j + 1) * 128].reshape(8, 8, c)
+            rgb_v[j][:] = rgb_v[j][:] + _upsample(zr, h, w)
+            ir_v[j][:] = ir_v[j][:] + _upsample(zi, h, w)
+        cps = []
+        for j in range(tb):
+            cps.append(pltpu.make_async_copy(
+                rgb_v[j], rgb_out.at[i * tb + j], sem.at[2 * j]))
+            cps.append(pltpu.make_async_copy(
+                ir_v[j], ir_out.at[i * tb + j], sem.at[2 * j + 1]))
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
+
+
 def _tile_b(b: int, h: int, w: int, c: int) -> int:
     # keep the two in-tiles (both streams) around <= ~14 MB
     per_img = 2 * h * w * c * 2
@@ -181,6 +257,16 @@ def _tile_b(b: int, h: int, w: int, c: int) -> int:
     while b % want:
         want -= 1
     return max(want, 1)
+
+
+def merge_kernel_supported(h: int, w: int, c: int) -> bool:
+    """Whether fused_gpt_merge can run on real-TPU Mosaic for this map
+    shape.  The per-image whole-ref DMA slices the (B, H, W, C) stream
+    along W, and Mosaic requires that slice aligned to the 8-sublane
+    tiling — W % 8 != 0 (e.g. the 20x20 P5 level at 640 px) fails to
+    lower.  Callers fall back to the XLA pool->transformer->upsample
+    sequence."""
+    return w % 8 == 0
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
@@ -193,8 +279,17 @@ def fused_gpt_merge(rgb: jnp.ndarray, ir: jnp.ndarray, stacked: dict,
     streams (the two Add2 layers' result)."""
     b, h, w, c = rgb.shape
     L = stacked["wq"].shape[0]
-    tb = _tile_b(b, h, w, c)
-    grid = (b // tb,)
+
+    # layer-major weight streaming whenever the width is large enough that
+    # (a) the full-batch token scratch is lane-aligned (c >= 256, as the
+    # token-transformer kernel) and (b) one layer's double-buffered blocks
+    # + the scratches fit VMEM.  Below that, the resident-weight batch-major
+    # grid stays: its weights are tiny and re-streaming them is free.
+    layer_bytes = 2 * (4 * c * c + 2 * c * 4 * c)     # qkv/o + mlp, bf16
+    act_bytes = 2 * b * 128 * c
+    per_img = 2 * h * w * c * 2                       # both streams, bf16
+    budget = (88 << 20) - act_bytes - 2 * layer_bytes
+    stream = c >= 256 and L >= 2 and budget >= per_img
 
     ops = [rgb.astype(jnp.bfloat16), ir.astype(jnp.bfloat16),
            pos_emb.astype(jnp.float32).reshape(1, 128, c),
@@ -209,12 +304,34 @@ def fused_gpt_merge(rgb: jnp.ndarray, ir: jnp.ndarray, stacked: dict,
         arr = stacked[nm]
         wdt = jnp.bfloat16 if arr.ndim == 3 else jnp.float32
         ops.append(arr.astype(wdt))
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        if stream and arr.ndim == 3:
+            # one layer's block per step; the index depends only on l, so
+            # Pallas skips the DMA across the batch-tile sweep
+            zeros = (0,) * (arr.ndim - 1)
+            in_specs.append(pl.BlockSpec(
+                (1,) + arr.shape[1:], lambda l, i, z=zeros: (l,) + z,
+                memory_space=pltpu.VMEM))
+        else:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 
     out_shape = (jax.ShapeDtypeStruct((b, h, w, c), jnp.bfloat16),
                  jax.ShapeDtypeStruct((b, h, w, c), jnp.bfloat16))
-    kernel = functools.partial(_kernel, h=h, w=w, tb=tb,
-                               num_heads=num_heads, n_layer=L)
+    if stream:
+        tb = max(1, min(8, int(budget // per_img)))
+        while b % tb:
+            tb -= 1
+        grid = (L, b // tb)
+        kernel = functools.partial(_kernel_stream, h=h, w=w, tb=tb,
+                                   num_heads=num_heads, n_layer=L)
+        scratch = [pltpu.VMEM((b, 128, c), jnp.bfloat16)]
+    else:
+        tb = _tile_b(b, h, w, c)
+        grid = (b // tb,)
+        kernel = functools.partial(_kernel, h=h, w=w, tb=tb,
+                                   num_heads=num_heads, n_layer=L)
+        scratch = []
+    scratch += [pltpu.VMEM((h, w, c), jnp.bfloat16) for _ in range(2 * tb)]
+    scratch += [pltpu.SemaphoreType.DMA((2 * tb,))]
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -222,9 +339,7 @@ def fused_gpt_merge(rgb: jnp.ndarray, ir: jnp.ndarray, stacked: dict,
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pl.ANY)),
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((h, w, c), jnp.bfloat16)
-                        for _ in range(2 * tb)]
-                       + [pltpu.SemaphoreType.DMA((2 * tb,))],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

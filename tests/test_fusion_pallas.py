@@ -18,7 +18,9 @@ def _rand_tree(tree, rng):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-@pytest.mark.parametrize("d,hw,b", [(64, 40, 2), (128, 20, 3)])
+@pytest.mark.parametrize("d,hw,b", [(64, 40, 2), (128, 24, 3),
+                                    (256, 16, 4),   # layer-major streaming
+                                    (256, 16, 3)])  # streaming, odd batch
 def test_merge_kernel_matches_xla(d, hw, b):
     xla = CrossModalTransformer(d, n_layer=2, dtype=jnp.float32)
     ker = CrossModalTransformer(d, n_layer=2, merge_kernel=True,
@@ -40,6 +42,31 @@ def test_merge_kernel_matches_xla(d, hw, b):
                                rtol=0.06, atol=0.06)
     np.testing.assert_allclose(np.asarray(i0), np.asarray(i1, np.float32),
                                rtol=0.06, atol=0.06)
+
+
+def test_merge_kernel_unaligned_falls_back():
+    """W % 8 != 0 (e.g. the 20x20 P5 level) cannot lower on Mosaic — the
+    module must return the PLAIN (unmerged) outputs, identical to
+    merge_kernel=False, and merge_kernel_supported must say so (the
+    detector keys its Add2-select bookkeeping off the same gate)."""
+    from mmidet_tpu.nn.fusion_pallas import merge_kernel_supported
+
+    assert not merge_kernel_supported(20, 20, 1024)
+    assert merge_kernel_supported(40, 40, 512)
+
+    d, hw, b = 64, 20, 2
+    xla = CrossModalTransformer(d, n_layer=2, dtype=jnp.float32)
+    ker = CrossModalTransformer(d, n_layer=2, merge_kernel=True,
+                                dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    rgb = jax.random.normal(rng, (b, hw, hw, d), jnp.float32)
+    ir = rgb * 0.3 + 0.2
+    v = xla.init({"params": rng}, rgb[:1], ir[:1], train=False)
+    v = {"params": _rand_tree(v["params"], jax.random.PRNGKey(7))}
+    r0, i0 = xla.apply(v, rgb, ir, train=False)
+    r1, i1 = ker.apply(v, rgb, ir, train=False)
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
 
 
 def test_detector_premerge_equivalence():
