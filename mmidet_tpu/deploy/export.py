@@ -130,9 +130,9 @@ def main(argv=None):
     path = export_deploy_bundle(args.out, model, variables, spec,
                                 names=args.names, img_size=args.img_size)
     have_hlo = os.path.isfile(os.path.join(path, "model.stablehlo"))
-    print(f"exported deploy bundle -> {path} "
-          f"(StableHLO: {'yes' if have_hlo else 'unavailable on this '
-                         'backend — see stablehlo_export_error.txt'})")
+    hlo_msg = ("yes" if have_hlo else
+               "unavailable on this backend — see stablehlo_export_error.txt")
+    print(f"exported deploy bundle -> {path} (StableHLO: {hlo_msg})")
     return path
 
 

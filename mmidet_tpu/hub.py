@@ -79,11 +79,16 @@ class AutoShapeModel:
         self.two_stream = two_stream
         self.augment = augment  # TTA (ref autoShape.forward(augment=...))
 
-        @jax.jit
-        def infer(variables, *imgs):
+        import functools
+
+        # augment/conf/iou are STATIC jit args (read at call time, below),
+        # so flipping m.augment / m.conf after the first inference retraces
+        # instead of being silently frozen into the first trace
+        @functools.partial(jax.jit, static_argnums=(0, 1, 2))
+        def infer(augment, conf, iou, variables, *imgs):
             def fwd(*ims):
                 return model.apply(variables, *ims, train=False)["pred"]
-            if self.augment:
+            if augment:
                 from mmidet_tpu.models.tta import forward_tta
                 pred = forward_tta(fwd, imgs[0],
                                    imgs[1] if two_stream else None,
@@ -91,9 +96,10 @@ class AutoShapeModel:
             else:
                 pred = fwd(*imgs)
             return non_max_suppression(pred.astype(jnp.float32),
-                                       conf_thres=self.conf,
-                                       iou_thres=self.iou)
-        self._infer = lambda *imgs: infer(self.variables, *imgs)
+                                       conf_thres=conf, iou_thres=iou)
+        self._infer = lambda *imgs: infer(bool(self.augment),
+                                          float(self.conf), float(self.iou),
+                                          self.variables, *imgs)
 
     @staticmethod
     def _to_numpy(im):
@@ -152,7 +158,8 @@ class AutoShapeModel:
 
 
 def _make(name: str, nc: int = 80, variables=None, names=None,
-          img_size: int = 640, dtype=jnp.bfloat16):
+          img_size: int = 640, dtype=jnp.bfloat16, conf: float = 0.25,
+          iou: float = 0.45, augment: bool = False):
     spec = get_model_spec(name, nc=nc)
     two_stream = "_" in name
     model = TwoStreamDetector(spec=spec, use_cem=two_stream,
@@ -163,8 +170,8 @@ def _make(name: str, nc: int = 80, variables=None, names=None,
         variables = model.init({"params": jax.random.PRNGKey(0)}, *args,
                                train=False)
     names = names or [str(i) for i in range(nc)]
-    return AutoShapeModel(model, variables, names, img_size,
-                          two_stream=two_stream)
+    return AutoShapeModel(model, variables, names, img_size, conf=conf,
+                          iou=iou, two_stream=two_stream, augment=augment)
 
 
 def yolov5s(nc: int = 80, **kw):
@@ -205,7 +212,8 @@ def mmidet(nc: int = 6, scale: str = "l", fusion: str = "fuse3_fourier",
     return _make(f"yolov5{scale}_{fusion}", nc, **kw)
 
 
-def custom(deploy_bundle: str):
+def custom(deploy_bundle: str, conf: float = 0.25, iou: float = 0.45,
+           augment: bool = False):
     """Load from a deploy bundle dir (ref hubconf.custom)."""
     from mmidet_tpu.deploy.export import load_deploy_bundle
     spec, variables, meta = load_deploy_bundle(deploy_bundle)
@@ -215,4 +223,5 @@ def custom(deploy_bundle: str):
     model = TwoStreamDetector(spec=spec, use_cem=two_stream,
                               aux_mode="off", dtype=jnp.bfloat16)
     return AutoShapeModel(model, variables, meta["names"],
-                          meta.get("img_size", 640), two_stream=two_stream)
+                          meta.get("img_size", 640), conf=conf, iou=iou,
+                          two_stream=two_stream, augment=augment)

@@ -255,9 +255,9 @@ def fused_token_transformer(x: jnp.ndarray, stacked: dict,
                                    n_layer=L, tb=tb)
         grid = (L, b // tb)
         scratch = pltpu.VMEM((b, n, d), jnp.bfloat16)  # full batch resident
-        # d>=512: act + double-buffered layer weights + tb-sized workspace
-        # need more than the 64 MB default
-        vmem = 100 * 1024 * 1024 if d >= 512 else 64 * 1024 * 1024
+        # the cap must cover everything the <90MB gate above admits (the
+        # full-batch act scratch grows with b regardless of d)
+        vmem = 100 * 1024 * 1024
     else:
         kernel = functools.partial(_kernel, num_heads=num_heads, n_layer=L)
         grid = (b // tb, L)

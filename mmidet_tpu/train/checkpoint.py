@@ -188,9 +188,15 @@ def convert_torch_state_dict(template_variables: dict,
                 continue
             arr = _transform(np.asarray(torch_sd[key]), kind)
             if arr.shape != leaf.shape:
-                raise ValueError(
-                    f"shape mismatch {path}: torch {key} {arr.shape} vs "
-                    f"flax {leaf.shape}")
+                if strict:
+                    raise ValueError(
+                        f"shape mismatch {path}: torch {key} {arr.shape} vs "
+                        f"flax {leaf.shape}")
+                # tolerant transfer (ref intersect_dicts, train.py:544-547):
+                # keep the template leaf, e.g. a different-nc Detect head
+                report_missing.append(key)
+                new_flat[path] = leaf
+                continue
             new_flat[path] = arr.astype(np.asarray(leaf).dtype)
         out[collection] = flax.traverse_util.unflatten_dict(new_flat)
     if strict and report_missing:

@@ -128,10 +128,13 @@ def load_pretrained_variables(path: str, template_variables: dict,
     if path.endswith((".pt", ".pth")):
         from mmidet_tpu.train.checkpoint import (convert_torch_state_dict,
                                                  load_torch_checkpoint)
-        sd = load_torch_checkpoint(path, reference_repo="/root/reference"
-                                   if os.path.isdir("/root/reference")
-                                   else None)
-        return convert_torch_state_dict(template_variables, sd)
+        ref = os.environ.get("MMIDET_REFERENCE_REPO", "/root/reference")
+        sd = load_torch_checkpoint(
+            path, reference_repo=ref if os.path.isdir(ref) else None)
+        # tolerant (ref intersect_dicts + strict=False, train.py:544-547):
+        # a different-nc head or extra/missing modules keep template leaves
+        return convert_torch_state_dict(template_variables, sd,
+                                        strict=False)
     if os.path.isfile(os.path.join(path, "model.json")):
         from mmidet_tpu.deploy.export import load_deploy_bundle
         _, variables, _ = load_deploy_bundle(path)
@@ -242,8 +245,12 @@ def train(cfg: TrainConfig) -> dict:
                               seed=cfg.seed, prefetch=cfg.workers)
     elif cfg.rect:
         from mmidet_tpu.data.loader import RectLoader
+        # train-rect uses pad=0.0 (the reference passes pad=0.5 only for
+        # eval, train.py:651 vs test.py:93) and the model's max stride so
+        # P6 (stride-64) shapes stay FPN-consistent
         loader = RectLoader(train_ds, cfg.batch_size, img_size,
-                            cfg.max_labels)
+                            cfg.max_labels,
+                            stride=int(max(spec.strides)), pad=0.0)
     else:
         loader = PairedLoader(train_ds, cfg.batch_size, img_size,
                               cfg.max_labels, shuffle=True, seed=cfg.seed,
@@ -298,9 +305,14 @@ def train(cfg: TrainConfig) -> dict:
             ema={**state.ema, "params": merged["params"],
                  "batch_stats": merged["batch_stats"]})
     anchors = _anchors_grid(spec)
+    # donate the state: params/opt_state/EMA update in place instead of
+    # allocating a second copy each step (~3x params HBM at l-scale, part
+    # of the measured batch>16 spill). The loop rebinds `state`, so the
+    # stale donated buffers are never touched.
     step_fn = jax.jit(make_train_step(model, tx, anchors, loss_hyp,
                                       ema_decay=cfg.ema_decay,
-                                      remat=cfg.remat or None))
+                                      remat=cfg.remat or None),
+                      donate_argnums=(0,))
 
     start_epoch, best_fit = 0, -1.0
     ckpt_dir = os.path.join(workdir, "ckpt")
@@ -332,6 +344,7 @@ def train(cfg: TrainConfig) -> dict:
 
     plotted_batches = 0
     ms_rng = np.random.default_rng(cfg.seed + 2)
+    maps = np.zeros(nc)  # per-class mAP from the latest eval
     gs = int(max(spec.strides))
     from mmidet_tpu.nn.resize import bilinear_resize
     _ms_resize = jax.jit(bilinear_resize, static_argnums=1)
@@ -376,14 +389,10 @@ def train(cfg: TrainConfig) -> dict:
         mloss /= max(nb, 1)
 
         res = None
+        saved_this_epoch = False
         final = epoch == cfg.epochs - 1
         do_eval = (((epoch + 1) % cfg.eval_every == 0 or final)
                    and (not cfg.notest or final))
-        if cfg.save_period > 0 and (epoch + 1) % cfg.save_period == 0 \
-                and not do_eval:
-            save_checkpoint(ckpt_dir, state, epoch,
-                            metadata={"epoch": epoch,
-                                      "best_fitness": best_fit})
         if do_eval:
             ema_vars = {"params": state.ema["params"],
                         "batch_stats": state.ema["batch_stats"]}
@@ -397,19 +406,9 @@ def train(cfg: TrainConfig) -> dict:
                                 metadata={"epoch": epoch,
                                           "best_fitness": best_fit,
                                           "fitness": fit})
-            if cfg.image_weights and not final:
-                # ref train.py:715-727: cw = class_weights*(1-maps)^2;
-                # resample next epoch's indices ~ image weights
-                from mmidet_tpu.utils.general import (
-                    labels_to_class_weights, labels_to_image_weights)
-                maps = np.zeros(nc)
-                for i, nm in enumerate(names):
-                    maps[i] = res.per_class.get(nm, {}).get("ap", 0.0)
-                cw = labels_to_class_weights(train_ds.labels, nc)
-                iw = labels_to_image_weights(train_ds.labels, nc,
-                                             cw * (1 - maps) ** 2)
-                if hasattr(loader, "set_image_weights") and iw.sum() > 0:
-                    loader.set_image_weights(iw)
+                saved_this_epoch = True
+            for i, nm in enumerate(names):
+                maps[i] = res.per_class.get(nm, {}).get("ap", 0.0)
             with open(results_path, "a") as fh:
                 fh.write(
                     f"{epoch}/{cfg.epochs - 1} "
@@ -426,6 +425,23 @@ def train(cfg: TrainConfig) -> dict:
                 "mAP50 %.4f mAP %.4f fit %.4f (%.1fs)", epoch,
                 cfg.epochs - 1, *mloss, res.map50, res.map, fit,
                 time.time() - t0)
+        if cfg.save_period > 0 and (epoch + 1) % cfg.save_period == 0 \
+                and not saved_this_epoch:
+            # periodic save is independent of eval/nosave (ref save_period)
+            save_checkpoint(ckpt_dir, state, epoch,
+                            metadata={"epoch": epoch,
+                                      "best_fitness": best_fit})
+        if cfg.image_weights and not final:
+            # EVERY epoch, as the reference (train.py:715-727):
+            # cw = class_weights*(1-maps)^2 with the latest eval's maps;
+            # resample next epoch's indices ~ image weights
+            from mmidet_tpu.utils.general import (labels_to_class_weights,
+                                                  labels_to_image_weights)
+            cw = labels_to_class_weights(train_ds.labels, nc)
+            iw = labels_to_image_weights(train_ds.labels, nc,
+                                         cw * (1 - maps) ** 2)
+            if hasattr(loader, "set_image_weights") and iw.sum() > 0:
+                loader.set_image_weights(iw)
 
     mlog.close()
     try:

@@ -69,6 +69,25 @@ def test_hub_single_stream(tmp_path):
     assert os.path.isfile(paths[0])
 
 
+def test_hub_augment_flag(tmp_path):
+    """TTA is reachable through the hub API: constructor kwarg works, and
+    flipping .augment after a first inference retraces (the flags are
+    static jit args, not trace-time closures)."""
+    from mmidet_tpu import hub
+    m = hub.yolov5s(nc=3, img_size=64, augment=True)
+    img = (np.random.default_rng(0).uniform(
+        0, 255, (64, 64, 3))).astype(np.uint8)
+    det_tta = m(img)
+    assert det_tta.n == 1
+    m.augment = False
+    det_plain = m(img)  # must retrace, not reuse the TTA trace
+    assert det_plain.n == 1
+    m.conf = 0.9999     # raising conf post-hoc must also take effect
+    det_high = m(img)
+    assert sum(len(r) for r in det_high.records) <= \
+        sum(len(r) for r in det_plain.records)
+
+
 def test_export_bundle_roundtrip(tmp_path):
     from mmidet_tpu.deploy.export import (export_deploy_bundle,
                                           load_deploy_bundle)

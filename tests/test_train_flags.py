@@ -104,6 +104,69 @@ def test_weights_transfer_and_image_weights(data_yaml, tmp_path):
     assert os.path.isfile(os.path.join(out2["workdir"], "results.txt"))
 
 
+def test_convert_torch_tolerant():
+    """strict=False keeps template leaves on missing keys AND shape
+    mismatches (the reference's intersect_dicts + strict=False transfer,
+    train.py:544-547) — e.g. transferring a COCO-80 head onto nc=6."""
+    import jax.numpy as jnp
+    from mmidet_tpu.train.checkpoint import (_torch_key,
+                                             convert_torch_state_dict)
+    template = {"params": {"l0_conv": {"conv": {"kernel":
+                                                jnp.zeros((3, 3, 3, 8))}}}}
+    key, kind = _torch_key(("l0_conv", "conv", "kernel"), "params")
+    assert kind == "conv"
+    # missing key: tolerant keeps template, strict raises
+    out = convert_torch_state_dict(template, {}, strict=False)
+    assert out["params"]["l0_conv"]["conv"]["kernel"].shape == (3, 3, 3, 8)
+    with pytest.raises(KeyError):
+        convert_torch_state_dict(template, {}, strict=True)
+    # shape mismatch (torch OIHW (16,3,3,3) -> HWIO (3,3,3,16) != (...,8)):
+    # tolerant keeps template, strict raises
+    sd = {key: np.ones((16, 3, 3, 3), np.float32)}
+    out = convert_torch_state_dict(template, sd, strict=False)
+    assert np.allclose(
+        np.asarray(out["params"]["l0_conv"]["conv"]["kernel"]), 0.0)
+    with pytest.raises(ValueError):
+        convert_torch_state_dict(template, sd, strict=True)
+
+
+def test_save_period_independent_of_nosave_and_eval(data_yaml, tmp_path):
+    """--save-period must write periodic checkpoints even when every epoch
+    evaluates (eval_every=1) and --nosave suppresses the eval-branch save
+    (the reference's save_period is unconditional, train.py:896-899)."""
+    from mmidet_tpu.train.trainer import TrainConfig, train
+    cfg = TrainConfig(
+        model="yolov5s_add", data=data_yaml, epochs=2, batch_size=2,
+        img_size=64, workdir=str(tmp_path / "runs/sp"), mosaic_prob=0.0,
+        dtype="float32", autoanchor=False, nosave=True, save_period=1,
+        eval_every=1)
+    out = train(cfg)
+    import orbax.checkpoint as ocp
+    with ocp.CheckpointManager(
+            os.path.abspath(os.path.join(out["workdir"], "ckpt"))) as mgr:
+        assert list(mgr.all_steps()) == [0, 1]
+
+
+def test_image_weights_resample_every_epoch(data_yaml, tmp_path,
+                                            monkeypatch):
+    """--image-weights resamples EVERY epoch (ref train.py:715-727), not
+    only on eval epochs — with --notest the resample must still happen."""
+    import mmidet_tpu.utils.general as general
+    calls = []
+    orig = general.labels_to_image_weights
+    monkeypatch.setattr(
+        general, "labels_to_image_weights",
+        lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+    from mmidet_tpu.train.trainer import TrainConfig, train
+    cfg = TrainConfig(
+        model="yolov5s_add", data=data_yaml, epochs=2, batch_size=2,
+        img_size=64, workdir=str(tmp_path / "runs/iw"), mosaic_prob=0.0,
+        dtype="float32", autoanchor=False, image_weights=True, notest=True)
+    train(cfg)
+    # resampled after every non-final epoch (epoch 0 of 2), even w/o eval
+    assert len(calls) == 1
+
+
 def test_rect_training_smoke(data_yaml, tmp_path):
     from mmidet_tpu.train.trainer import TrainConfig, train
     cfg = TrainConfig(
