@@ -305,26 +305,29 @@ def train(cfg: TrainConfig) -> dict:
             ema={**state.ema, "params": merged["params"],
                  "batch_stats": merged["batch_stats"]})
     anchors = _anchors_grid(spec)
-    # donate the state: params/opt_state/EMA update in place instead of
-    # allocating a second copy each step (~3x params HBM at l-scale, part
-    # of the measured batch>16 spill). The loop rebinds `state`, so the
-    # stale donated buffers are never touched.
+    # NOTE: no donate_argnums on the state — state.ema aliases state.params
+    # at init (and after pretrained transfer), and donating the same buffer
+    # through two leaves is a runtime error; donation also measured
+    # time-neutral on this model (PERF.md, 145.6 vs 146.4 ms).
     step_fn = jax.jit(make_train_step(model, tx, anchors, loss_hyp,
                                       ema_decay=cfg.ema_decay,
-                                      remat=cfg.remat or None),
-                      donate_argnums=(0,))
+                                      remat=cfg.remat or None))
 
     start_epoch, best_fit = 0, -1.0
     ckpt_dir = os.path.join(workdir, "ckpt")
     if cfg.resume:
+        # resume value may be an explicit checkpoint dir; any other truthy
+        # value (e.g. True / "latest") means this run's own ckpt dir
+        src = cfg.resume if isinstance(cfg.resume, str) \
+            and os.path.isdir(cfg.resume) else ckpt_dir
         try:
-            state, step, meta = restore_checkpoint(ckpt_dir, state)
+            state, step, meta = restore_checkpoint(src, state)
             if meta:
                 start_epoch = int(meta.get("epoch", -1)) + 1
                 best_fit = float(meta.get("best_fitness", -1.0))
-            logger.info("resumed from %s at epoch %d", ckpt_dir, start_epoch)
+            logger.info("resumed from %s at epoch %d", src, start_epoch)
         except FileNotFoundError:
-            logger.warning("no checkpoint to resume under %s", ckpt_dir)
+            logger.warning("no checkpoint to resume under %s", src)
 
     rng = jax.random.PRNGKey(cfg.seed + 1)
     results_path = os.path.join(workdir, "results.txt")

@@ -167,6 +167,32 @@ def test_image_weights_resample_every_epoch(data_yaml, tmp_path,
     assert len(calls) == 1
 
 
+def test_resume_continues_epochs_and_state(data_yaml, tmp_path):
+    """Resume restores epoch counter + full state (opt/EMA) and continues
+    where training stopped — fixing the reference quirk where the
+    dual-stream resume block is commented out (train.py:604-630) and
+    restarts at epoch 0 with weights only."""
+    import dataclasses as dc
+    from mmidet_tpu.train.trainer import TrainConfig, train
+    wd = str(tmp_path / "runs/resume")
+    cfg1 = TrainConfig(
+        model="yolov5s_add", data=data_yaml, epochs=2, batch_size=2,
+        img_size=64, workdir=wd, mosaic_prob=0.0, dtype="float32",
+        autoanchor=False, eval_every=1, exist_ok=True)
+    train(cfg1)
+    cfg2 = dc.replace(cfg1, epochs=4, resume="latest")
+    out = train(cfg2)
+    txt = open(os.path.join(out["workdir"], "results.txt")).read()
+    # the resumed run appended epochs 2 and 3 only (no epoch-0 restart)
+    assert "2/3 " in txt and "3/3 " in txt
+    assert txt.count("0/") == 1  # only the first run's epoch 0
+    import orbax.checkpoint as ocp
+    with ocp.CheckpointManager(
+            os.path.abspath(os.path.join(out["workdir"], "ckpt"))) as mgr:
+        # max_to_keep=3 retains the last three epoch checkpoints
+        assert sorted(mgr.all_steps()) == [1, 2, 3]
+
+
 def test_rect_training_smoke(data_yaml, tmp_path):
     from mmidet_tpu.train.trainer import TrainConfig, train
     cfg = TrainConfig(
