@@ -176,8 +176,22 @@ def transfer_matching(template: dict, loaded: dict) -> tuple[dict, int, int]:
 def train(cfg: TrainConfig) -> dict:
     """Run training; returns summary dict with best fitness and workdir."""
     hyp = load_hyp(cfg.hyp)
-    workdir = increment_path(cfg.workdir, cfg.exist_ok) if not cfg.resume \
-        else cfg.resume
+    # resume semantics (ref --resume, train.py:1000-1010): a previous RUN
+    # dir (contains ckpt/) continues in place; a bare checkpoint dir seeds
+    # a fresh workdir; any other truthy value ("latest"/True) reuses
+    # cfg.workdir as-is and continues from its own ckpt dir.
+    resume_src = None
+    r = cfg.resume if isinstance(cfg.resume, str) else ""
+    if cfg.resume and os.path.isdir(os.path.join(r, "ckpt")):
+        workdir = r
+        resume_src = os.path.join(r, "ckpt")
+    elif cfg.resume and os.path.isdir(r):
+        workdir = increment_path(cfg.workdir, cfg.exist_ok)
+        resume_src = r
+    elif cfg.resume:
+        workdir = cfg.workdir
+    else:
+        workdir = increment_path(cfg.workdir, cfg.exist_ok)
     os.makedirs(workdir, exist_ok=True)
     with open(os.path.join(workdir, "hyp.yaml"), "w") as fh:
         yaml.safe_dump(hyp, fh)
@@ -316,10 +330,7 @@ def train(cfg: TrainConfig) -> dict:
     start_epoch, best_fit = 0, -1.0
     ckpt_dir = os.path.join(workdir, "ckpt")
     if cfg.resume:
-        # resume value may be an explicit checkpoint dir; any other truthy
-        # value (e.g. True / "latest") means this run's own ckpt dir
-        src = cfg.resume if isinstance(cfg.resume, str) \
-            and os.path.isdir(cfg.resume) else ckpt_dir
+        src = resume_src or ckpt_dir
         try:
             state, step, meta = restore_checkpoint(src, state)
             if meta:
