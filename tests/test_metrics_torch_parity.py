@@ -1,0 +1,147 @@
+"""Cross-implementation parity of the mAP-critical metric chain against the
+reference's own numpy/torch code (utils/metrics.py, utils/general.py).
+
+The mAP acceptance gate (BASELINE.md: within 0.5 of the reference on M3FD)
+depends on ap_per_class, compute_ap and the CIoU family being numerically
+identical — these tests feed both implementations the same random inputs
+and require matching outputs.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference checkout not available")
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    sys.path.insert(0, REF)
+    # reference utils.general imports torchvision (not installed) and thop
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        for sub in ("ops", "models", "utils", "transforms"):
+            mod = types.ModuleType(f"torchvision.{sub}")
+            setattr(tv, sub, mod)
+            sys.modules[f"torchvision.{sub}"] = mod
+        tv.__version__ = "0.0-stub"
+        sys.modules["torchvision"] = tv
+    for name in ("thop", "torchsummary"):
+        stub = types.ModuleType(name)
+        stub.profile = lambda *a, **k: (0.0, 0.0)
+        stub.clever_format = lambda *a, **k: ("0", "0")
+        stub.summary = lambda *a, **k: None
+        sys.modules.setdefault(name, stub)
+    from utils import general as ref_general  # noqa: E402
+    from utils import metrics as ref_metrics  # noqa: E402
+    return ref_metrics, ref_general
+
+
+def _random_stats(rng, n=600, m=200, nc=5, niou=10):
+    """Random eval stats shaped like test.py:231 accumulates them."""
+    conf = rng.uniform(0.01, 1.0, n)
+    pred_cls = rng.integers(0, nc, n).astype(np.float64)
+    # correlate tp with conf so PR curves are non-degenerate; monotone
+    # columns mimic decreasing IoU thresholds
+    base = rng.uniform(0, 1, n) < np.clip(conf * 1.2, 0, 1)
+    tp = np.zeros((n, niou), bool)
+    for j in range(niou):
+        tp[:, j] = base & (rng.uniform(0, 1, n) > j / (niou + 2))
+    target_cls = rng.integers(0, nc, m).astype(np.float64)
+    return tp, conf, pred_cls, target_cls
+
+
+def test_ap_per_class_matches_reference(ref_modules):
+    ref_metrics, _ = ref_modules
+    from mmidet_tpu.eval.metrics import ap_per_class
+    rng = np.random.default_rng(0)
+    for seed in range(3):
+        tp, conf, pred_cls, target_cls = _random_stats(
+            np.random.default_rng(seed))
+        p0, r0, ap0, f10, c0 = ref_metrics.ap_per_class(
+            tp, conf, pred_cls, target_cls)
+        p1, r1, ap1, f11, c1 = ap_per_class(tp, conf, pred_cls, target_cls)
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+        np.testing.assert_allclose(ap1, ap0, rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(p1, p0, rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(r1, r0, rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(f11, f10, rtol=1e-10, atol=1e-12)
+    # class present in targets but never predicted (zero row) + vice versa
+    tp, conf, pred_cls, target_cls = _random_stats(rng, nc=4)
+    target_cls = np.concatenate([target_cls, [7.0]])  # never predicted
+    p0, r0, ap0, f10, c0 = ref_metrics.ap_per_class(
+        tp, conf, pred_cls, target_cls)
+    from mmidet_tpu.eval.metrics import ap_per_class as ours
+    p1, r1, ap1, f11, c1 = ours(tp, conf, pred_cls, target_cls)
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    np.testing.assert_allclose(ap1, ap0, rtol=1e-10, atol=1e-12)
+
+
+def test_compute_ap_matches_reference(ref_modules):
+    ref_metrics, _ = ref_modules
+    from mmidet_tpu.eval.metrics import compute_ap
+    rng = np.random.default_rng(1)
+    for _ in range(5):
+        n = 50
+        recall = np.sort(rng.uniform(0, 1, n))
+        precision = rng.uniform(0, 1, n)
+        a0 = ref_metrics.compute_ap(recall, precision)[0]
+        a1 = compute_ap(recall, precision)
+        a1 = a1[0] if isinstance(a1, tuple) else a1
+        np.testing.assert_allclose(a1, a0, rtol=1e-12)
+
+
+def test_fitness_matches_reference(ref_modules):
+    ref_metrics, _ = ref_modules
+    from mmidet_tpu.eval.metrics import fitness
+    x = np.random.default_rng(2).uniform(0, 1, (3, 7))
+    np.testing.assert_allclose(np.asarray(fitness(x)),
+                               ref_metrics.fitness(x), rtol=1e-12)
+
+
+@pytest.mark.parametrize("mode", ["iou", "GIoU", "DIoU", "CIoU"])
+def test_bbox_iou_matches_reference(ref_modules, mode):
+    """Elementwise IoU family vs reference general.py:403-447 (the CIoU
+    branch is the box-loss term, so this is loss-level parity too)."""
+    _, ref_general = ref_modules
+    import jax.numpy as jnp
+    from mmidet_tpu.ops.boxes import bbox_iou
+    rng = np.random.default_rng(3)
+    n = 257
+    xy = rng.uniform(0, 100, (2, n, 2))
+    wh = rng.uniform(0.5, 50, (2, n, 2))
+    b1 = np.concatenate([xy[0], wh[0]], -1)  # xywh
+    b2 = np.concatenate([xy[1], wh[1]], -1)
+    kw = {mode: True} if mode != "iou" else {}
+    # reference takes box1 as (4, n) (the caller transposes, loss.py:134)
+    # and box2 as (n, 4) (transposed internally)
+    ref = ref_general.bbox_iou(torch.tensor(b1.T, dtype=torch.float64),
+                               torch.tensor(b2, dtype=torch.float64),
+                               x1y1x2y2=False, **kw)
+    ours = bbox_iou(jnp.asarray(b1), jnp.asarray(b2), xywh=True, **kw)
+    np.testing.assert_allclose(np.asarray(ours, np.float64),
+                               ref.numpy(), rtol=2e-5, atol=2e-6)
+
+
+def test_box_iou_pairwise_matches_reference(ref_modules):
+    _, ref_general = ref_modules
+    import jax.numpy as jnp
+    from mmidet_tpu.ops.boxes import box_iou
+    rng = np.random.default_rng(4)
+    a = rng.uniform(0, 80, (40, 2))
+    b = rng.uniform(0, 80, (60, 2))
+    boxes1 = np.concatenate([a, a + rng.uniform(1, 40, (40, 2))], -1)
+    boxes2 = np.concatenate([b, b + rng.uniform(1, 40, (60, 2))], -1)
+    ref = ref_general.box_iou(torch.tensor(boxes1, dtype=torch.float32),
+                              torch.tensor(boxes2, dtype=torch.float32))
+    ours = box_iou(jnp.asarray(boxes1), jnp.asarray(boxes2))
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(),
+                               rtol=1e-5, atol=1e-6)
