@@ -131,6 +131,69 @@ def test_bbox_iou_matches_reference(ref_modules, mode):
                                ref.numpy(), rtol=2e-5, atol=2e-6)
 
 
+def _greedy_nms_torch(boxes, scores, iou_thres):
+    """Exact torchvision.ops.nms semantics (greedy by score, suppress
+    IoU > thres, return kept indices score-descending) in plain torch —
+    torchvision isn't installed in this image, so the stub gets a real
+    implementation for the pipeline-parity test below."""
+    order = torch.argsort(scores, descending=True)
+    keep = []
+    while order.numel():
+        i = order[0]
+        keep.append(i.item())
+        if order.numel() == 1:
+            break
+        rest = order[1:]
+        x1 = torch.maximum(boxes[i, 0], boxes[rest, 0])
+        y1 = torch.maximum(boxes[i, 1], boxes[rest, 1])
+        x2 = torch.minimum(boxes[i, 2], boxes[rest, 2])
+        y2 = torch.minimum(boxes[i, 3], boxes[rest, 3])
+        inter = (x2 - x1).clamp(0) * (y2 - y1).clamp(0)
+        a1 = ((boxes[i, 2] - boxes[i, 0])
+              * (boxes[i, 3] - boxes[i, 1]))
+        a2 = ((boxes[rest, 2] - boxes[rest, 0])
+              * (boxes[rest, 3] - boxes[rest, 1]))
+        iou = inter / (a1 + a2 - inter)
+        order = rest[iou <= iou_thres]
+    return torch.tensor(keep, dtype=torch.long)
+
+
+@pytest.mark.parametrize("multi_label", [False, True])
+def test_nms_pipeline_matches_reference(ref_modules, multi_label):
+    """Our fixed-shape NMS vs the reference's full non_max_suppression
+    orchestration (conf filter, obj*cls conf, multi-label expansion,
+    class-offset batching, max_det) with the greedy core injected into
+    the torchvision stub. Ref: general.py:486-580."""
+    _, ref_general = ref_modules
+    import jax.numpy as jnp
+    sys.modules["torchvision"].ops.nms = _greedy_nms_torch
+    from mmidet_tpu.ops.nms import non_max_suppression
+    rng = np.random.default_rng(7)
+    b, n, nc = 2, 120, 4
+    xy = rng.uniform(40, 600, (b, n, 2))
+    wh = rng.uniform(8, 80, (b, n, 2))
+    obj = rng.uniform(0, 1, (b, n, 1)) ** 2
+    cls = rng.uniform(0, 1, (b, n, nc))
+    pred = np.concatenate([xy, wh, obj, cls], -1).astype(np.float32)
+
+    ref_out = ref_general.non_max_suppression(
+        torch.tensor(pred), conf_thres=0.25, iou_thres=0.45,
+        multi_label=multi_label)
+    dets, valid = non_max_suppression(jnp.asarray(pred), 0.25, 0.45,
+                                      multi_label=multi_label)
+    dets, valid = np.asarray(dets), np.asarray(valid)
+    for i in range(b):
+        r = ref_out[i].numpy()
+        o = dets[i][valid[i]]
+        assert o.shape == r.shape
+        # both are conf-descending; compare rows directly
+        np.testing.assert_allclose(o[:, 4], r[:, 4], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(o[:, :4], r[:, :4], rtol=1e-4,
+                                   atol=1e-3)
+        np.testing.assert_array_equal(o[:, 5].astype(int),
+                                      r[:, 5].astype(int))
+
+
 def test_box_iou_pairwise_matches_reference(ref_modules):
     _, ref_general = ref_modules
     import jax.numpy as jnp
