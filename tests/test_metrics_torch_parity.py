@@ -194,6 +194,43 @@ def test_nms_pipeline_matches_reference(ref_modules, multi_label):
                                       r[:, 5].astype(int))
 
 
+@pytest.mark.parametrize("hw", [(480, 640), (640, 480), (97, 211),
+                                (800, 800)])
+def test_letterbox_geometry_matches_reference(ref_modules, hw):
+    """letterbox_np vs reference letterbox (datasets.py:2016) in the square
+    auto=False mode the eval/detect paths use: the GEOMETRY (ratio, dw, dh,
+    content placement) must be exact — scale_coords inverts it, so any
+    drift shifts every evaluated box. Pixels may differ slightly
+    (PIL bilinear vs cv2 INTER_LINEAR), asserted loosely."""
+    import importlib
+    ref_ds = importlib.import_module("utils.datasets")
+    from mmidet_tpu.data.datasets import letterbox_np
+    # smooth gradient image: PIL's antialiased bilinear and cv2's
+    # INTER_LINEAR agree closely on smooth content; random noise would
+    # only measure the (documented) filter difference on downscale
+    yy, xx = np.mgrid[0:hw[0], 0:hw[1]]
+    img = np.stack([(xx * 255 / hw[1]), (yy * 255 / hw[0]),
+                    ((xx + yy) * 255 / (hw[0] + hw[1]))],
+                   -1).astype(np.uint8)
+    r_img, r_ratio, (r_dw, r_dh) = ref_ds.letterbox(
+        img, (640, 640), auto=False)
+    o_img, o_ratio, (o_dw, o_dh) = letterbox_np(img, (640, 640))
+    ratio = r_ratio[0] if isinstance(r_ratio, tuple) else r_ratio
+    assert o_ratio == pytest.approx(ratio, abs=1e-9)
+    assert (o_dw, o_dh) == pytest.approx((r_dw, r_dh), abs=1e-9)
+    assert o_img.shape == r_img.shape
+    # the true pad region (from the shared geometry) is 114 in BOTH
+    top, left = int(round(r_dh - 0.1)), int(round(r_dw - 0.1))
+    nh = int(round(hw[0] * ratio))
+    nw = int(round(hw[1] * ratio))
+    for im in (o_img, r_img):
+        assert np.all(im[:top] == 114) and np.all(im[top + nh:] == 114)
+        assert np.all(im[:, :left] == 114)
+        assert np.all(im[:, left + nw:] == 114)
+    diff = np.abs(o_img.astype(int) - r_img.astype(int))
+    assert diff.mean() < 8.0
+
+
 def test_box_iou_pairwise_matches_reference(ref_modules):
     _, ref_general = ref_modules
     import jax.numpy as jnp
