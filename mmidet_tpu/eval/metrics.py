@@ -100,7 +100,10 @@ def match_predictions(pred: np.ndarray, labels: np.ndarray,
             if d not in detected:
                 detected.add(d)
                 correct[pi[j]] = best_iou[j] > iouv
-                if len(detected) == len(ti):
+                # ref breaks on ALL image labels matched (test.py:228) —
+                # breaking on the per-class count would drop TPs whenever
+                # an earlier class's detections pad the set
+                if len(detected) == labels.shape[0]:
                     break
     return correct
 

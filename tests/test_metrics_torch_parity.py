@@ -131,6 +131,77 @@ def test_bbox_iou_matches_reference(ref_modules, mode):
                                ref.numpy(), rtol=2e-5, atol=2e-6)
 
 
+def _ref_match(pred, labels, iouv):
+    """Reference-faithful TP assignment (test.py:198-231 semantics,
+    re-expressed in numpy): per-class greedy best-IoU matching with one
+    detected-target set across classes, early exit only when EVERY label
+    in the image is matched."""
+    from mmidet_tpu.ops.boxes import box_iou
+    correct = np.zeros((pred.shape[0], iouv.shape[0]), bool)
+    if not len(labels) or not len(pred):
+        return correct
+    detected = []
+    for c in np.unique(labels[:, 0]):
+        ti = np.nonzero(labels[:, 0] == c)[0]
+        pi = np.nonzero(pred[:, 5] == c)[0]
+        if not pi.size:
+            continue
+        ious = np.asarray(box_iou(pred[pi, :4], labels[ti, 1:5]))
+        best = ious.argmax(1)
+        best_iou = ious[np.arange(len(pi)), best]
+        for j in np.nonzero(best_iou > iouv[0])[0]:
+            d = int(ti[best[j]])
+            if d not in detected:
+                detected.append(d)
+                correct[pi[j]] = best_iou[j] > iouv
+                if len(detected) == len(labels):  # nl, NOT len(ti)
+                    break
+    return correct
+
+
+def test_match_predictions_matches_reference_semantics():
+    """Random multi-class scenes + the specific early-break trap: when an
+    earlier class already filled the detected set to the size of the
+    current class's target count, matching must CONTINUE (the reference
+    exits only once all nl labels are matched, test.py:228)."""
+    from mmidet_tpu.eval.metrics import match_predictions
+    iouv = np.linspace(0.5, 0.95, 10)
+
+    # early-break trap: class 0 has 1 target (matched), class 1 has 2
+    # targets and 2 valid predictions — both must become TPs
+    labels = np.array([[0, 0, 0, 10, 10],
+                       [1, 20, 20, 30, 30],
+                       [1, 40, 40, 50, 50]], np.float64)
+    pred = np.array([[0, 0, 10, 10, 0.9, 0],
+                     [20, 20, 30, 30, 0.8, 1],
+                     [40, 40, 50, 50, 0.7, 1]], np.float64)
+    got = match_predictions(pred, labels, iouv)
+    assert got.all(), "all three exact-overlap predictions must be TPs"
+
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        m = rng.integers(1, 12)
+        n = rng.integers(1, 24)
+        lxy = rng.uniform(0, 80, (m, 2))
+        labels = np.concatenate([rng.integers(0, 3, (m, 1)), lxy,
+                                 lxy + rng.uniform(4, 30, (m, 2))], -1)
+        # predictions: perturbed copies of labels + noise boxes
+        rows = []
+        for _ in range(n):
+            if rng.uniform() < 0.7:
+                t = labels[rng.integers(0, m)]
+                box = t[1:5] + rng.normal(0, 2.0, 4)
+                rows.append([*box, rng.uniform(0.1, 1), t[0]])
+            else:
+                xy = rng.uniform(0, 80, 2)
+                rows.append([*xy, *(xy + rng.uniform(4, 30, 2)),
+                             rng.uniform(0.1, 1), rng.integers(0, 3)])
+        pred = np.asarray(rows, np.float64)
+        np.testing.assert_array_equal(
+            match_predictions(pred, labels, iouv),
+            _ref_match(pred, labels, iouv))
+
+
 def _greedy_nms_torch(boxes, scores, iou_thres):
     """Exact torchvision.ops.nms semantics (greedy by score, suppress
     IoU > thres, return kept indices score-descending) in plain torch —
