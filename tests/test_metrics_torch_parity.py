@@ -202,6 +202,66 @@ def test_match_predictions_matches_reference_semantics():
             _ref_match(pred, labels, iouv))
 
 
+def test_confusion_matrix_matches_reference(ref_modules):
+    """ConfusionMatrix.process_batch vs reference metrics.py:111-183 on
+    random multi-class scenes (matrix must be identical)."""
+    ref_metrics, _ = ref_modules
+    from mmidet_tpu.eval.metrics import ConfusionMatrix
+    rng = np.random.default_rng(6)
+    nc = 4
+    ours = ConfusionMatrix(nc)
+    ref = ref_metrics.ConfusionMatrix(nc)
+    for _ in range(10):
+        m = rng.integers(1, 10)
+        n = rng.integers(1, 20)
+        lxy = rng.uniform(0, 80, (m, 2))
+        labels = np.concatenate([rng.integers(0, nc, (m, 1)), lxy,
+                                 lxy + rng.uniform(4, 30, (m, 2))], -1)
+        rows = []
+        for _ in range(n):
+            if rng.uniform() < 0.6:
+                t = labels[rng.integers(0, m)]
+                rows.append([*(t[1:5] + rng.normal(0, 2.0, 4)),
+                             rng.uniform(0.1, 1), rng.integers(0, nc)])
+            else:
+                xy = rng.uniform(0, 80, 2)
+                rows.append([*xy, *(xy + rng.uniform(4, 30, 2)),
+                             rng.uniform(0.1, 1), rng.integers(0, nc)])
+        det = np.asarray(rows, np.float32)
+        ours.process_batch(det, labels.astype(np.float32))
+        ref.process_batch(torch.tensor(det),
+                          torch.tensor(labels, dtype=torch.float32))
+    np.testing.assert_array_equal(ours.matrix, ref.matrix.astype(np.int64))
+
+
+def test_one_cycle_epoch_factor_matches_reference(ref_modules):
+    """Our cosine epoch factor vs reference one_cycle(1, lrf, epochs)
+    (general.py:240, used as the LambdaLR at train.py:593)."""
+    _, ref_general = ref_modules
+    from mmidet_tpu.train.schedule import ScheduleConfig, _lf
+    for lrf, epochs in ((0.2, 100), (0.01, 300), (0.5, 7)):
+        cfg = ScheduleConfig(lrf=lrf, epochs=epochs)
+        lf = ref_general.one_cycle(1, lrf, epochs)
+        for e in range(0, epochs + 1, max(epochs // 7, 1)):
+            np.testing.assert_allclose(float(_lf(cfg, e)), lf(e),
+                                       rtol=1e-6)
+
+
+def test_scale_coords_matches_reference(ref_modules):
+    _, ref_general = ref_modules
+    import jax.numpy as jnp
+    from mmidet_tpu.ops.boxes import scale_coords
+    rng = np.random.default_rng(8)
+    img1, img0 = (640, 640), (480, 607)
+    xy = rng.uniform(0, 600, (30, 2))
+    coords = np.concatenate([xy, xy + rng.uniform(1, 40, (30, 2))],
+                            -1).astype(np.float64)
+    ref = ref_general.scale_coords(img1, torch.tensor(coords.copy()), img0)
+    ours = scale_coords(img1, jnp.asarray(coords), img0)
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(),
+                               rtol=1e-6, atol=1e-6)
+
+
 def _greedy_nms_torch(boxes, scores, iou_thres):
     """Exact torchvision.ops.nms semantics (greedy by score, suppress
     IoU > thres, return kept indices score-descending) in plain torch —
