@@ -122,7 +122,9 @@ def _perspective_matrix(key: jax.Array, hyp: AugmentHyp, width: int,
     t = jax.random.uniform(k6, (2,), minval=0.5 - hyp.translate,
                            maxval=0.5 + hyp.translate)
     T = jnp.eye(3).at[0, 2].set(t[0] * out_w).at[1, 2].set(t[1] * out_h)
-    return T @ S @ R @ P @ C
+    # the sampled scale is returned too: the reference's box_candidates
+    # gate scales the pre-warp box by it (datasets.py:2258, box1 * s)
+    return T @ S @ R @ P @ C, s
 
 
 def warp_image(img: jnp.ndarray, M: jnp.ndarray, out_hw: tuple[int, int],
@@ -145,7 +147,7 @@ def warp_image(img: jnp.ndarray, M: jnp.ndarray, out_hw: tuple[int, int],
 
 def transform_labels(labels_xyxy: jnp.ndarray, mask: jnp.ndarray,
                      M: jnp.ndarray, out_hw: tuple[int, int],
-                     perspective: bool = False):
+                     perspective: bool = False, scale=1.0):
     """Warp xyxy boxes through M; clip; apply the reference's
     box_candidates gate (wh>2px, area ratio>0.1, aspect<20)."""
     oh, ow = out_hw
@@ -167,7 +169,11 @@ def transform_labels(labels_xyxy: jnp.ndarray, mask: jnp.ndarray,
     ny1 = jnp.clip(warped[..., 1].min(1), 0, oh)
     ny2 = jnp.clip(warped[..., 1].max(1), 0, oh)
     new = jnp.stack([nx1, ny1, nx2, ny2], axis=-1)
-    w1, h1 = x2 - x1, y2 - y1
+    # the area-ratio denominator uses the SCALED pre-warp box, exactly as
+    # the reference's box_candidates(box1=targets[:,1:5].T * s, ...)
+    # call (datasets.py:2258) — without it label survival diverges at
+    # every non-unit sampled scale
+    w1, h1 = (x2 - x1) * scale, (y2 - y1) * scale
     w2, h2 = nx2 - nx1, ny2 - ny1
     ar = jnp.maximum(w2 / (h2 + 1e-16), h2 / (w2 + 1e-16))
     keep = ((w2 > 2) & (h2 > 2)
@@ -305,7 +311,7 @@ def augment_pair_mosaic(rgb4, ir4, labels4, mask4, key, s: int,
     mask)."""
     k_mosaic, k_warp, k_hsv_r, k_hsv_i, k_flip = jax.random.split(key, 5)
     border = s // 2
-    M = _perspective_matrix(k_warp, hyp, 2 * s, 2 * s, border)
+    M, s_scale = _perspective_matrix(k_warp, hyp, 2 * s, 2 * s, border)
     if hyp.degrees == 0 and hyp.shear == 0 and hyp.perspective == 0:
         # axis-aligned fast path (the default hyp): fused mosaic+warp via
         # scale_and_translate — no image-space gathers (see mosaic_warp_fast)
@@ -320,7 +326,8 @@ def augment_pair_mosaic(rgb4, ir4, labels4, mask4, key, s: int,
         rgb_w = warp_image(rgb_c, M, (s, s))
         ir_w = warp_image(ir_c, M, (s, s))
     boxes, m = transform_labels(boxes, m, M, (s, s),
-                                perspective=hyp.perspective > 0)
+                                perspective=hyp.perspective > 0,
+                                scale=s_scale)
 
     rgb_w = augment_hsv(rgb_w, k_hsv_r, hyp)  # independent gains per
     ir_w = augment_hsv(ir_w, k_hsv_i, hyp)    # modality (reference quirk)
@@ -408,40 +415,115 @@ def mixup(img1, labels1, mask1, img2, labels2, mask2, key):
     return img, labels, mask
 
 
-def cutout(img, key, fill_low: float = 64 / 255, fill_high: float = 191 / 255):
-    """Random occlusion squares at the reference's scale schedule
-    (one 1/2-scale, two 1/4, four 1/8...). Ref: datasets.py cutout."""
+def cutout(img, key, labels_xyxy=None, mask=None,
+           fill_low: float = 64 / 255, fill_high: float = 191 / 255):
+    """Random occlusion rectangles, reference schedule and semantics
+    (datasets.py:2295-2320): scales [1/2]x1 + [1/4]x2 + [1/8]x4 +
+    [1/16]x8 + [1/32]x16; each mask's height/width ~ randint(1, dim*s);
+    labels more than 60% obscured by a mask with s > 0.03 are dropped.
+
+    Returns img when labels_xyxy is None, else (img, mask) with obscured
+    labels masked out."""
     h, w = img.shape[:2]
-    scales = [0.5] + [0.25] * 2 + [0.125] * 4 + [0.0625] * 8
-    keys = jax.random.split(key, len(scales) * 3)
+    scales = ([0.5] * 1 + [0.25] * 2 + [0.125] * 4 + [0.0625] * 8
+              + [0.03125] * 16)
+    keys = jax.random.split(key, len(scales) * 5)
     ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
     out = img
+    keep = mask
     for i, s in enumerate(scales):
-        kh, kw, kf = keys[3 * i], keys[3 * i + 1], keys[3 * i + 2]
-        mh = int(h * s)
-        mw = int(w * s)
-        cy = jax.random.randint(kh, (), 0, h)
-        cx = jax.random.randint(kw, (), 0, w)
-        box = ((ys >= cy - mh // 2) & (ys < cy + mh // 2)
-               & (xs >= cx - mw // 2) & (xs < cx + mw // 2))
+        kh, kw, ky, kx, kf = keys[5 * i:5 * i + 5]
+        # reference: mask_h = random.randint(1, int(h * s)) (inclusive)
+        mh = jax.random.randint(kh, (), 1, max(int(h * s), 1) + 1)
+        mw = jax.random.randint(kw, (), 1, max(int(w * s), 1) + 1)
+        cy = jax.random.randint(ky, (), 0, h + 1)
+        cx = jax.random.randint(kx, (), 0, w + 1)
+        ymin = jnp.clip(cy - mh // 2, 0, h)
+        ymax = jnp.clip(ymin + mh, 0, h)
+        xmin = jnp.clip(cx - mw // 2, 0, w)
+        xmax = jnp.clip(xmin + mw, 0, w)
+        box = ((ys >= ymin) & (ys < ymax) & (xs >= xmin) & (xs < xmax))
         fill = jax.random.uniform(kf, (3,), minval=fill_low,
                                   maxval=fill_high)
         out = jnp.where(box[..., None], fill, out)
-    return out
+        if keep is not None and s > 0.03:
+            # drop labels >60% obscured (intersection over label area)
+            lx1, ly1 = labels_xyxy[:, 0], labels_xyxy[:, 1]
+            lx2, ly2 = labels_xyxy[:, 2], labels_xyxy[:, 3]
+            iw = jnp.clip(jnp.minimum(lx2, xmax) - jnp.maximum(lx1, xmin),
+                          0)
+            ih = jnp.clip(jnp.minimum(ly2, ymax) - jnp.maximum(ly1, ymin),
+                          0)
+            ioa = iw * ih / ((lx2 - lx1) * (ly2 - ly1) + 1e-16)
+            keep = keep & (ioa < 0.60)
+    return out if labels_xyxy is None else (out, keep)
 
 
-def hist_equalize(img):
-    """Per-image value-channel histogram equalization (float variant of the
-    reference's CLAHE/equalizeHist path, datasets.py hist_equalize)."""
-    hsv = rgb_to_hsv(img)
-    v = hsv[..., 2]
-    flat = v.reshape(-1)
-    idx = jnp.clip((flat * 255).astype(jnp.int32), 0, 255)
-    hist = jnp.zeros((256,)).at[idx].add(1.0)
-    cdf = jnp.cumsum(hist)
-    cdf = (cdf - cdf[0]) / jnp.maximum(cdf[-1] - cdf[0], 1e-6)
-    v_eq = cdf[idx].reshape(v.shape)
-    return hsv_to_rgb(jnp.stack([hsv[..., 0], hsv[..., 1], v_eq], axis=-1))
+def _rgb_yuv(img):
+    """BT.601 RGB<->YUV (the reference equalizes cv2 YUV luma,
+    datasets.py:1677-1688)."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = -0.14713 * r - 0.28886 * g + 0.436 * b
+    v = 0.615 * r - 0.51499 * g - 0.10001 * b
+    return y, u, v
+
+
+def _yuv_rgb(y, u, v):
+    r = y + 1.13983 * v
+    g = y - 0.39465 * u - 0.58060 * v
+    b = y + 2.03211 * u
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 1.0)
+
+
+def hist_equalize(img, clahe: bool = True, clip_limit: float = 2.0,
+                  tiles: int = 8):
+    """Luma histogram equalization, reference semantics (datasets.py
+    hist_equalize): CLAHE by default — clip-limited per-tile histograms on
+    the YUV luma with bilinear blending between the 4 neighbouring tile
+    mappings (cv2.createCLAHE(2.0, (8,8)) algorithm, float-domain) — or
+    global equalizeHist when ``clahe=False``.  H and W must be divisible
+    by ``tiles``."""
+    y, u, v = _rgb_yuv(img)
+    h, w = y.shape
+    idx = jnp.clip((y * 255.0).astype(jnp.int32), 0, 255)
+    if not clahe:
+        hist = jnp.zeros((256,)).at[idx.reshape(-1)].add(1.0)
+        cdf = jnp.cumsum(hist)
+        cdf = (cdf - cdf[0]) / jnp.maximum(cdf[-1] - cdf[0], 1e-6)
+        return _yuv_rgb(cdf[idx], u, v)
+
+    th, tw = h // tiles, w // tiles
+    # per-tile histograms: (tiles, tiles, 256)
+    tidx = idx.reshape(tiles, th, tiles, tw).transpose(0, 2, 1, 3)
+    onehot = jax.nn.one_hot(tidx.reshape(tiles, tiles, -1), 256)
+    hist = onehot.sum(2)
+    # clip-limited redistribution; cv2 floors the limit at one count
+    # (max(int(clipLimit*tileArea/256), 1)) — without the floor, small
+    # tiles clip every occupied bin and flatten the mapping to identity
+    clip = max(clip_limit * (th * tw) / 256.0, 1.0)
+    clipped = jnp.minimum(hist, clip)
+    excess = (hist - clipped).sum(-1, keepdims=True)
+    clipped = clipped + excess / 256.0
+    cdf = jnp.cumsum(clipped, axis=-1)
+    cdf = cdf / jnp.maximum(cdf[..., -1:], 1e-6)       # (T, T, 256)
+    # bilinear blend of the 4 neighbouring tile mappings at each pixel
+    ys = (jnp.arange(h) + 0.5) / th - 0.5              # tile-grid coords
+    xs = (jnp.arange(w) + 0.5) / tw - 0.5
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, tiles - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, tiles - 1)
+    y1 = jnp.clip(y0 + 1, 0, tiles - 1)
+    x1 = jnp.clip(x0 + 1, 0, tiles - 1)
+    fy = jnp.clip(ys - y0, 0.0, 1.0)[:, None]
+    fx = jnp.clip(xs - x0, 0.0, 1.0)[None, :]
+    g = (y0[:, None], y1[:, None], x0[None, :], x1[None, :])
+    m00 = cdf[g[0], g[2], idx]
+    m01 = cdf[g[0], g[3], idx]
+    m10 = cdf[g[1], g[2], idx]
+    m11 = cdf[g[1], g[3], idx]
+    y_eq = ((1 - fy) * ((1 - fx) * m00 + fx * m01)
+            + fy * ((1 - fx) * m10 + fx * m11))
+    return _yuv_rgb(y_eq, u, v)
 
 
 def mosaic9(tiles: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray,
@@ -479,23 +561,39 @@ def mosaic9(tiles: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray,
 
 
 def replicate_labels(img, boxes_xyxy, cls, mask, key):
-    """Replicate the smallest-half boxes into random free corners
-    (ref datasets.py replicate) — fixed-count variant copying up to 4."""
+    """Replicate small boxes — PIXELS AND labels — to random positions
+    (ref datasets.py:2000-2013 ``replicate``): boxes ranked by mean side
+    length (w+h)/2, smallest first; the source patch is copied to the new
+    location (the reference writes img[y1a:y2a, x1a:x2a] = img[y1b:y2b,
+    x1b:x2b]).  Fixed-count variant: up to 4 replicas (the reference does
+    n//2, dynamic).  Integer coordinates, as the reference."""
     h, w = img.shape[:2]
-    area = (boxes_xyxy[:, 2] - boxes_xyxy[:, 0]) * \
-        (boxes_xyxy[:, 3] - boxes_xyxy[:, 1])
-    order = jnp.argsort(jnp.where(mask, area, jnp.inf))
+    b = jnp.floor(boxes_xyxy).astype(jnp.int32)
+    side = ((b[:, 2] - b[:, 0]) + (b[:, 3] - b[:, 1])) / 2.0
+    order = jnp.argsort(jnp.where(mask, side, jnp.inf))
+    ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
     out_img = img
     new_boxes, new_cls, new_mask = [], [], []
     keys = jax.random.split(key, 4)
     for i in range(4):
         src = order[i]
-        bw = boxes_xyxy[src, 2] - boxes_xyxy[src, 0]
-        bh = boxes_xyxy[src, 3] - boxes_xyxy[src, 1]
+        x1b, y1b, x2b, y2b = b[src, 0], b[src, 1], b[src, 2], b[src, 3]
+        bw, bh = x2b - x1b, y2b - y1b
         k1, k2 = jax.random.split(keys[i])
-        x0 = jax.random.uniform(k1) * (w - bw)
-        y0 = jax.random.uniform(k2) * (h - bh)
-        nb = jnp.stack([x0, y0, x0 + bw, y0 + bh])
+        x1a = (jax.random.uniform(k1)
+               * jnp.maximum(w - bw, 1)).astype(jnp.int32)
+        y1a = (jax.random.uniform(k2)
+               * jnp.maximum(h - bh, 1)).astype(jnp.int32)
+        # copy the source patch: roll the image by the displacement and
+        # select the destination box (a fixed-shape dynamic-size copy)
+        # roll the CURRENT canvas (the reference mutates in place, so a
+        # later copy may legitimately pick up an earlier replica)
+        shifted = jnp.roll(out_img, (y1a - y1b, x1a - x1b), axis=(0, 1))
+        in_dst = ((ys >= y1a) & (ys < y1a + bh)
+                  & (xs >= x1a) & (xs < x1a + bw)) & mask[src]
+        out_img = jnp.where(in_dst[..., None], shifted, out_img)
+        nb = jnp.stack([x1a, y1a, x1a + bw, y1a + bh]).astype(
+            boxes_xyxy.dtype)
         new_boxes.append(nb)
         new_cls.append(cls[src])
         new_mask.append(mask[src])

@@ -45,9 +45,14 @@ def _get_infer(model, conf_thres, iou_thres, max_det, two_stream,
                                    gs=int(max(model.spec.strides)))
             else:
                 pred = fwd(rgb, ir) if two_stream else fwd(rgb)
+            # pre_nms_topk matches the reference eval protocol's max_nms
+            # (general.py:555-557): at conf 0.001 + multi_label the
+            # candidate pool easily exceeds the 4096 deploy default, and a
+            # smaller pool truncates the recall-curve tail
             return non_max_suppression(
                 pred.astype(jnp.float32), conf_thres=conf_thres,
-                iou_thres=iou_thres, max_det=max_det, multi_label=True)
+                iou_thres=iou_thres, max_det=max_det,
+                pre_nms_topk=30000, multi_label=True)
         _INFER_CACHE[key] = infer
     return _INFER_CACHE[key]
 

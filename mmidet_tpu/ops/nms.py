@@ -104,7 +104,9 @@ def non_max_suppression(prediction: jnp.ndarray,
         boxes_xywh = x[:, :4]
         obj = x[:, 4]
         cls_conf = x[:, 5:] * obj[:, None]  # conf = obj_conf * cls_conf
-        if cls_keep is not None:
+        if cls_keep is not None and use_multi:
+            # multi-label: dropping disallowed (box, class) pairs up front
+            # is exactly the reference's post-expansion row filter
             cls_conf = jnp.where(cls_keep[None, :], cls_conf, 0.0)
         boxes = xywh2xyxy(boxes_xywh)
 
@@ -121,8 +123,16 @@ def non_max_suppression(prediction: jnp.ndarray,
             scores = top
             classes = cidx
         else:
+            # best-class mode: the argmax runs over ALL classes and rows
+            # whose best class is disallowed are DROPPED (ref
+            # general.py:543-545 filters after the argmax) — zeroing
+            # before the argmax would re-assign the box to its best
+            # allowed class, a detection the reference never emits
             conf = jnp.max(cls_conf, axis=1)
-            cidx = jnp.argmax(cls_conf, axis=1).astype(jnp.float32)
+            cidx = jnp.argmax(cls_conf, axis=1)
+            if cls_keep is not None:
+                conf = jnp.where(cls_keep[cidx], conf, -jnp.inf)
+            cidx = cidx.astype(jnp.float32)
             conf = jnp.where(conf > conf_thres, conf, -jnp.inf)
             k = min(pre_nms_topk, conf.shape[0])
             scores, idx = jax.lax.top_k(conf, k)

@@ -62,6 +62,105 @@ def test_transform_labels_filters_degenerate():
     assert not bool(keep[0])
 
 
+def test_cutout_filters_obscured_labels():
+    """cutout matches the reference semantics (datasets.py:2295-2320):
+    occlusion rectangles change pixels, and labels >60% obscured by an
+    s>0.03 mask are dropped while untouched labels survive."""
+    import jax
+    import jax.numpy as jnp
+    from mmidet_tpu.data.augment import cutout
+    img = jnp.ones((64, 64, 3)) * 0.5
+    labels = jnp.asarray([[0.0, 0.0, 64.0, 64.0],     # whole image
+                          [1.0, 1.0, 2.0, 2.0]])      # tiny corner box
+    mask = jnp.ones((2,), bool)
+    out, keep = cutout(img, jax.random.PRNGKey(0), labels, mask)
+    assert out.shape == img.shape
+    assert bool(keep[0])  # the whole-image box can never be 60% obscured
+    # pixels actually changed somewhere
+    assert float(jnp.abs(out - img).max()) > 0
+    # image-only call keeps the old signature
+    out2 = cutout(img, jax.random.PRNGKey(1))
+    assert out2.shape == img.shape
+
+
+def test_replicate_copies_pixels():
+    """replicate copies the SOURCE PATCH to the new location (reference
+    writes img[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]) — the new label
+    must cover pixels identical to its source box."""
+    import jax
+    import jax.numpy as jnp
+    from mmidet_tpu.data.augment import replicate_labels
+    rng = np.random.default_rng(0)
+    img = np.asarray(rng.random((64, 64, 3)), np.float32)
+    # solid-color source patch: replicas may overlap each other (the
+    # reference copies in place), but every replica destination must end
+    # up this exact color regardless of copy order
+    img[4:10, 4:12] = 0.77
+    img = jnp.asarray(img)
+    boxes = jnp.asarray([[4.0, 4.0, 12.0, 10.0]])
+    cls = jnp.asarray([1.0])
+    mask = jnp.ones((1,), bool)
+    out_img, (nb, ncls, nm) = replicate_labels(
+        img, boxes, cls, mask, jax.random.PRNGKey(3))
+    assert nb.shape[0] == 5 and ncls.shape[0] == 5
+    out = np.asarray(out_img)
+    n_checked = 0
+    for i in range(1, 5):
+        if not bool(nm[i]):
+            continue
+        x1, y1, x2, y2 = (int(v) for v in np.asarray(nb[i]))
+        assert (x2 - x1, y2 - y1) == (8, 6)
+        np.testing.assert_allclose(out[y1:y2, x1:x2], 0.77, atol=1e-6)
+        n_checked += 1
+    assert n_checked == 4
+
+
+def test_hist_equalize_clahe_close_to_cv2():
+    """hist_equalize(clahe=True) implements cv2's CLAHE algorithm on YUV
+    luma (clip-limited 8x8 tiles, bilinear tile blending). Compared
+    loosely against cv2.createCLAHE — implementations differ in rounding
+    and border handling, so assert luma correlation, not bytes."""
+    cv2 = pytest.importorskip("cv2")
+    import jax.numpy as jnp
+    from mmidet_tpu.data.augment import hist_equalize
+    rng = np.random.default_rng(5)
+    # low-contrast image with spatially varying exposure
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float32)
+    base = 0.3 + 0.2 * (xx / 64) + 0.05 * rng.random((64, 64))
+    img = np.stack([base, base * 0.9, base * 1.1], -1).clip(0, 1)
+
+    ours = np.asarray(hist_equalize(jnp.asarray(img, jnp.float32)))
+
+    u8 = (img * 255).astype(np.uint8)
+    yuv = cv2.cvtColor(u8, cv2.COLOR_RGB2YUV)
+    yuv[..., 0] = cv2.createCLAHE(
+        clipLimit=2.0, tileGridSize=(8, 8)).apply(yuv[..., 0])
+    ref = cv2.cvtColor(yuv, cv2.COLOR_YUV2RGB).astype(np.float32) / 255
+
+    oy = ours.mean(-1)
+    ry = ref.mean(-1)
+    corr = np.corrcoef(oy.ravel(), ry.ravel())[0, 1]
+    assert corr > 0.98
+    # both must raise contrast vs the input (cv2 reaches ~1.39x here)
+    assert oy.std() > base.std() * 1.3 and ry.std() > base.std() * 1.3
+
+
+def test_transform_labels_scaled_area_gate():
+    """The box_candidates area-ratio denominator uses the SCALED pre-warp
+    box (ref datasets.py:2258, box1 * s): under a 0.3x downscale warp a
+    surviving box keeps ~9% of its original area — the reference keeps it
+    (0.09 / 0.09 = 1.0 > 0.1) while an unscaled denominator would drop it
+    (0.09 < 0.1)."""
+    import jax.numpy as jnp
+    from mmidet_tpu.data.augment import transform_labels
+    M = jnp.asarray([[0.3, 0.0, 10.0], [0.0, 0.3, 10.0], [0.0, 0.0, 1.0]])
+    boxes = jnp.asarray([[0.0, 0.0, 40.0, 40.0]])  # -> 12x12 after warp
+    mask = jnp.ones((1,), bool)
+    _, keep_scaled = transform_labels(boxes, mask, M, (64, 64), scale=0.3)
+    _, keep_unscaled = transform_labels(boxes, mask, M, (64, 64), scale=1.0)
+    assert bool(keep_scaled[0]) and not bool(keep_unscaled[0])
+
+
 def test_mosaic4_structure():
     s = 32
     tiles = jnp.stack([jnp.full((s, s, 3), v)
@@ -158,7 +257,7 @@ def test_mosaic_warp_fast_matches_gather_path():
     labels = jnp.asarray(rng.random((4, 7, 5)) * 0.5 + 0.25, jnp.float32)
     mask = jnp.ones((4, 7), bool)
 
-    M = A._perspective_matrix(k_warp, hyp, 2 * s, 2 * s, s // 2)
+    M, _ = A._perspective_matrix(k_warp, hyp, 2 * s, 2 * s, s // 2)
 
     # general path
     canvas, boxes_g, cls_g, m_g = A.mosaic4(tiles, labels, mask, k_mosaic, s)

@@ -15,6 +15,31 @@ def _make_pred(boxes_xywh, obj, cls_probs):
     return jnp.asarray(out)
 
 
+def test_nms_classes_filter_drops_not_reassigns():
+    """Best-class mode with a classes filter: a box whose ARGMAX class is
+    disallowed must be dropped (ref general.py:543-545 filters after the
+    argmax), not re-assigned to its best allowed class."""
+    pred = _make_pred(
+        [[100, 100, 50, 50], [300, 300, 40, 40]],
+        [1.0, 1.0],
+        [[0.4, 0.6],   # best class 1 (disallowed) — must vanish
+         [0.7, 0.2]],  # best class 0 (allowed) — kept
+    )
+    dets, valid = non_max_suppression(pred, conf_thres=0.25, iou_thres=0.45,
+                                      max_det=10, pre_nms_topk=16,
+                                      classes=(0,))
+    dets, valid = np.asarray(dets[0]), np.asarray(valid[0])
+    assert valid.sum() == 1
+    assert dets[0, 5] == 0.0 and dets[0, 4] == np.float32(0.7)
+    # multi-label mode: the allowed-class pair of the first box survives
+    dets, valid = non_max_suppression(pred, conf_thres=0.25, iou_thres=0.45,
+                                      max_det=10, pre_nms_topk=16,
+                                      classes=(0,), multi_label=True)
+    dets, valid = np.asarray(dets[0]), np.asarray(valid[0])
+    assert valid.sum() == 2
+    assert set(np.asarray(dets[valid][:, 5], int)) == {0}
+
+
 def test_nms_suppresses_overlaps():
     # two heavily-overlapping boxes + one distant box, single class
     pred = _make_pred(
