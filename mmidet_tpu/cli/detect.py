@@ -33,6 +33,8 @@ def build_parser():
     p.add_argument("--project", type=str, default="runs/detect")
     p.add_argument("--name", type=str, default="exp")
     p.add_argument("--save-txt", action="store_true")
+    p.add_argument("--save-conf", action="store_true",
+                   help="append confidence to --save-txt rows (ref flag)")
     p.add_argument("--nosave", action="store_true")
     p.add_argument("--augment", action="store_true",
                    help="TTA inference (3 scale/flip passes)")
@@ -101,10 +103,19 @@ def main(argv=None):
                                    im0_rgb.shape[0])
         base = os.path.splitext(os.path.basename(rf))[0]
         if args.save_txt:
+            # YOLO label format, as the reference writes it
+            # (detect_twostream.py:133-140): cls cx cy w h normalized,
+            # confidence only with --save-conf
+            h0, w0 = im0_rgb.shape[:2]
             with open(os.path.join(out_dir, base + ".txt"), "w") as fh:
-                for *box, conf, cls in d:
-                    fh.write(f"{int(cls)} " + " ".join(
-                        f"{x:.1f}" for x in box) + f" {conf:.4f}\n")
+                for x1, y1, x2, y2, conf, cls in d:
+                    row = (int(cls), (x1 + x2) / 2 / w0, (y1 + y2) / 2 / h0,
+                           (x2 - x1) / w0, (y2 - y1) / h0)
+                    line = f"{row[0]} " + " ".join(f"{x:.6f}"
+                                                   for x in row[1:])
+                    if args.save_conf:
+                        line += f" {conf:.6f}"
+                    fh.write(line + "\n")
         if not args.nosave:
             ann_rgb, ann_ir = im0_rgb.copy(), im0_ir.copy()
             for *box, conf, cls in d:

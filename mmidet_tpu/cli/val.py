@@ -80,9 +80,12 @@ def main(argv=None):
     ds = PairedDataset(data["val_rgb"], data["val_ir"], nc=nc)
 
     if args.task in ("val", "test"):
+        # scaleup=False: reference val-time letterbox only scales DOWN
+        # (datasets.py:1484-1487)
         loader = RectLoader(ds, args.batch_size, args.img_size) \
             if args.rect else PairedLoader(ds, args.batch_size,
-                                           args.img_size, drop_last=False)
+                                           args.img_size, drop_last=False,
+                                           scaleup=False)
         res = evaluate(model, variables, loader, nc,
                        conf_thres=args.conf_thres, iou_thres=args.iou_thres,
                        names=names, verbose=True,

@@ -22,7 +22,8 @@ import os
 
 import numpy as np
 
-IMG_FORMATS = (".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff", ".webp")
+IMG_FORMATS = (".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff", ".webp",
+               ".dng", ".mpo")  # full reference set (datasets.py:33-34)
 
 
 def discover_images(path: str) -> list[str]:
@@ -65,7 +66,10 @@ def load_labels(label_path: str, nc: int | None = None) -> np.ndarray:
     if not os.path.isfile(label_path):
         return np.zeros((0, 5), np.float32)
     with open(label_path) as fh:
-        rows = [line.split() for line in fh.read().splitlines() if line]
+        # filter on the SPLIT result: a whitespace-only line is truthy but
+        # splits to [], which would make np.asarray ragged
+        rows = [r for r in (line.split()
+                            for line in fh.read().splitlines()) if r]
     if not rows:
         return np.zeros((0, 5), np.float32)
     if any(len(r) > 5 for r in rows):
@@ -96,13 +100,17 @@ def load_labels(label_path: str, nc: int | None = None) -> np.ndarray:
 
 
 def _cache_key(paths: list[str]) -> str:
+    """Hash of image paths+sizes AND their label files' sizes, as the
+    reference get_hash over label_files + img_files (datasets.py:85-87):
+    an edited label file must invalidate the cache, not be served stale."""
     h = hashlib.sha1()
     for p in paths:
         h.update(p.encode())
-        try:
-            h.update(str(os.path.getsize(p)).encode())
-        except OSError:
-            pass
+        for f in (p, img2label_path(p)):
+            try:
+                h.update(str(os.path.getsize(f)).encode())
+            except OSError:
+                h.update(b"-")
     return h.hexdigest()
 
 
@@ -163,8 +171,16 @@ class PairedDataset:
             f"modality count mismatch: {len(self.rgb_files)} rgb vs "
             f"{len(self.ir_files)} ir")
         assert self.rgb_files, f"no images found under {rgb_path}"
-        cache = os.path.join(cache_dir or os.path.dirname(rgb_path) or ".",
-                             "labels_rgb.cache.npz")
+        # cache file: named by a hash of the source path(s), so (a) list
+        # paths work (dirname on a list crashed) and (b) train and val
+        # datasets sharing one cache_dir don't overwrite each other's
+        # cache on every construction (the reference keeps one .cache per
+        # label dir, datasets.py:1163-1175)
+        first = rgb_path[0] if isinstance(rgb_path, (list, tuple)) \
+            else rgb_path
+        base = cache_dir or (os.path.dirname(str(first)) or ".")
+        tag = hashlib.sha1(repr(rgb_path).encode()).hexdigest()[:10]
+        cache = os.path.join(base, f"labels_rgb.{tag}.cache.npz")
         self.labels = load_labels_cached(self.rgb_files, cache, nc)
 
     def __len__(self):

@@ -19,10 +19,14 @@ from mmidet_tpu.data.datasets import PairedDataset, letterbox_np
 
 
 def collate_paired(samples: list[dict], img_size: int = 640,
-                   max_labels: int = 120, shape_hw=None) -> dict:
+                   max_labels: int = 120, shape_hw=None,
+                   scaleup: bool = True) -> dict:
     """Letterbox both modalities identically; scale labels to the padded
     frame; pad to (B, max_labels, 5) + mask.  ``shape_hw`` overrides the
-    square target with a rectangular (h, w) batch shape (rect mode)."""
+    square target with a rectangular (h, w) batch shape (rect mode).
+    ``scaleup=False`` is the reference's VAL-time behavior (letterbox
+    scaleup=self.augment, datasets.py:1484-1487: 'only scale down ...
+    for better test mAP')."""
     bsz = len(samples)
     th, tw = shape_hw if shape_hw is not None else (img_size, img_size)
     rgb = np.empty((bsz, th, tw, 3), np.uint8)
@@ -31,8 +35,9 @@ def collate_paired(samples: list[dict], img_size: int = 640,
     mask = np.zeros((bsz, max_labels), bool)
     shapes = []
     for i, s in enumerate(samples):
-        out_r, r, (dw, dh) = letterbox_np(s["rgb"], (th, tw))
-        out_i, _, _ = letterbox_np(s["ir"], (th, tw))
+        out_r, r, (dw, dh) = letterbox_np(s["rgb"], (th, tw),
+                                          scaleup=scaleup)
+        out_i, _, _ = letterbox_np(s["ir"], (th, tw), scaleup=scaleup)
         rgb[i], ir[i] = out_r, out_i
         lab = s["labels"]
         h0, w0 = s["shape"]
@@ -168,20 +173,24 @@ class MosaicLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
 
         def worker():
-            for b in range(nb):
-                sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
-                groups_idx = [[int(i)] + [int(x) for x in
-                              rng.integers(0, len(self.ds), 3)]
-                              for i in sel]
-                if self.use_native:
-                    q.put(collate_mosaic_pool_native(
-                        self.ds, groups_idx, self.img_size,
-                        self.max_labels_tile))
-                else:
-                    groups = [[self.ds[j] for j in g] for g in groups_idx]
-                    q.put(collate_mosaic_pool(groups, self.img_size,
-                                              self.max_labels_tile))
-            q.put(None)
+            try:
+                for b in range(nb):
+                    sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
+                    groups_idx = [[int(i)] + [int(x) for x in
+                                  rng.integers(0, len(self.ds), 3)]
+                                  for i in sel]
+                    if self.use_native:
+                        q.put(collate_mosaic_pool_native(
+                            self.ds, groups_idx, self.img_size,
+                            self.max_labels_tile))
+                    else:
+                        groups = [[self.ds[j] for j in g]
+                                  for g in groups_idx]
+                        q.put(collate_mosaic_pool(groups, self.img_size,
+                                                  self.max_labels_tile))
+                q.put(None)
+            except BaseException as e:  # propagate instead of deadlocking
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -189,6 +198,8 @@ class MosaicLoader:
             item = q.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 
@@ -201,7 +212,11 @@ class RectLoader:
 
     def __init__(self, dataset: PairedDataset, batch_size: int,
                  img_size: int = 640, max_labels: int = 120,
-                 stride: int = 32, pad: float = 0.5):
+                 stride: int = 32, pad: float = 0.5,
+                 scaleup: bool = False):
+        # scaleup=False is the reference EVAL default (letterbox
+        # scaleup=self.augment); rect-TRAIN passes True
+        self.scaleup = scaleup
         self.ds = dataset
         self.batch_size = batch_size
         self.img_size = img_size
@@ -238,7 +253,7 @@ class RectLoader:
             sel = self.order[b * self.batch_size:(b + 1) * self.batch_size]
             samples = [self.ds[int(i)] for i in sel]
             yield collate_paired(samples, self.img_size, self.max_labels,
-                                 shape_hw=shape_hw)
+                                 shape_hw=shape_hw, scaleup=self.scaleup)
 
 
 class PairedLoader:
@@ -253,11 +268,12 @@ class PairedLoader:
                  img_size: int = 640, max_labels: int = 120,
                  shuffle: bool = False, drop_last: bool = True,
                  seed: int = 0, prefetch: int = 2,
-                 use_native: bool | None = None):
+                 use_native: bool | None = None, scaleup: bool = True):
         from mmidet_tpu.data import native as _native
         if use_native is None:
             use_native = _native.available()
         self.use_native = use_native
+        self.scaleup = scaleup  # False = reference val-time letterbox
         self.image_weights = None  # optional (N,) sampling weights
         self.ds = dataset
         self.batch_size = batch_size
@@ -296,8 +312,10 @@ class PairedLoader:
         from mmidet_tpu.data.native import batch_decode_letterbox
         rgb_paths = [self.ds.rgb_files[int(i)] for i in sel]
         ir_paths = [self.ds.ir_files[int(i)] for i in sel]
-        rgb, meta = batch_decode_letterbox(rgb_paths, self.img_size)
-        ir, _ = batch_decode_letterbox(ir_paths, self.img_size)
+        rgb, meta = batch_decode_letterbox(rgb_paths, self.img_size,
+                                           scaleup=self.scaleup)
+        ir, _ = batch_decode_letterbox(ir_paths, self.img_size,
+                                       scaleup=self.scaleup)
         bsz = len(sel)
         targets = np.zeros((bsz, self.max_labels, 5), np.float32)
         mask = np.zeros((bsz, self.max_labels), bool)
@@ -329,15 +347,19 @@ class PairedLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
 
         def worker():
-            for b in range(nb):
-                sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
-                if self.use_native:
-                    q.put(self._collate_native(sel))
-                else:
-                    samples = [self.ds[int(i)] for i in sel]
-                    q.put(collate_paired(samples, self.img_size,
-                                         self.max_labels))
-            q.put(None)
+            try:
+                for b in range(nb):
+                    sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
+                    if self.use_native:
+                        q.put(self._collate_native(sel))
+                    else:
+                        samples = [self.ds[int(i)] for i in sel]
+                        q.put(collate_paired(samples, self.img_size,
+                                             self.max_labels,
+                                             scaleup=self.scaleup))
+                q.put(None)
+            except BaseException as e:  # propagate instead of deadlocking
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -345,4 +367,6 @@ class PairedLoader:
             item = q.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item

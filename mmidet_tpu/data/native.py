@@ -55,7 +55,7 @@ def load_library(build_if_missing: bool = True):
     lib.fl_batch_decode.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
-        ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int]
     lib.fl_decode.restype = ctypes.POINTER(ctypes.c_uint8)
     lib.fl_decode.argtypes = [ctypes.c_char_p,
                               ctypes.POINTER(ctypes.c_int),
@@ -70,11 +70,13 @@ def available() -> bool:
 
 
 def batch_decode_letterbox(paths: list[str], img_size: int,
-                           n_threads: int = 0):
+                           n_threads: int = 0, scaleup: bool = True):
     """Decode + letterbox a batch natively.
 
     Returns (images (N, S, S, 3) uint8, meta (N, 3) float32 [r, dw, dh]).
-    Falls back to PIL per-image when the library is unavailable."""
+    ``scaleup=False`` clamps the resize ratio to <=1 (reference VAL-time
+    letterbox).  Falls back to PIL per-image when the library is
+    unavailable."""
     lib = load_library()
     n = len(paths)
     out = np.empty((n, img_size, img_size, 3), np.uint8)
@@ -84,14 +86,16 @@ def batch_decode_letterbox(paths: list[str], img_size: int,
         lib.fl_batch_decode(
             arr, n,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), img_size,
-            meta.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_threads)
+            meta.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_threads,
+            int(scaleup))
         return out, meta
     # PIL fallback
     from PIL import Image
     from mmidet_tpu.data.datasets import letterbox_np
     for i, p in enumerate(paths):
         im0 = np.asarray(Image.open(p).convert("RGB"))
-        lb, r, (dw, dh) = letterbox_np(im0, (img_size, img_size))
+        lb, r, (dw, dh) = letterbox_np(im0, (img_size, img_size),
+                                       scaleup=scaleup)
         out[i] = lb
         meta[i] = (r, dw, dh)
     return out, meta

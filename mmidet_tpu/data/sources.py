@@ -29,12 +29,15 @@ class LoadImages:
     def __init__(self, path: str, img_size: int = 640):
         self.img_size = img_size
         files = []
+        import glob as g
         if os.path.isdir(path):
-            import glob as g
             files = sorted(g.glob(os.path.join(path, "**", "*.*"),
                                   recursive=True))
         elif os.path.isfile(path):
             files = [path]
+        elif "*" in str(path):  # glob pattern (ref datasets.py LoadImages)
+            files = sorted(g.glob(path, recursive=True))
+            assert files, f"no files match glob {path}"
         else:
             files = discover_images(path)
         self.images = [f for f in files

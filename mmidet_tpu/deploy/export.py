@@ -55,9 +55,12 @@ def export_deploy_bundle(path: str, model, variables, spec,
     import dataclasses
     import orbax.checkpoint as ocp
     os.makedirs(path, exist_ok=True)
+    vdir = os.path.abspath(os.path.join(path, "variables"))
+    if os.path.isdir(vdir):  # re-export overwrites (orbax save refuses
+        import shutil        # existing checkpoint dirs by default)
+        shutil.rmtree(vdir)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(os.path.abspath(os.path.join(path, "variables")),
-                   variables)
+        ckptr.save(vdir, variables)
     meta = {
         "nc": spec.nc,
         "names": names or [str(i) for i in range(spec.nc)],

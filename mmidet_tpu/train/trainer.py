@@ -264,14 +264,17 @@ def train(cfg: TrainConfig) -> dict:
         # P6 (stride-64) shapes stay FPN-consistent
         loader = RectLoader(train_ds, cfg.batch_size, img_size,
                             cfg.max_labels,
-                            stride=int(max(spec.strides)), pad=0.0)
+                            stride=int(max(spec.strides)), pad=0.0,
+                            scaleup=True)  # train letterbox scales up
     else:
         loader = PairedLoader(train_ds, cfg.batch_size, img_size,
                               cfg.max_labels, shuffle=True, seed=cfg.seed,
                               prefetch=cfg.workers)
+    # val: scaleup=False, the reference's test-time letterbox behavior
     val_loader_fn = lambda: PairedLoader(val_ds, cfg.batch_size, img_size,
                                          cfg.max_labels, drop_last=False,
-                                         prefetch=cfg.workers)
+                                         prefetch=cfg.workers,
+                                         scaleup=False)
     steps_per_epoch = max(len(loader), 1)
 
     aug_hyp = AugmentHyp(

@@ -106,9 +106,13 @@ def check_anchors(labels: list[np.ndarray], shapes, anchors: np.ndarray,
     new = kmean_anchors(wh, n=na, img_size=img_size, thr=thr)
     if new is None:
         return anchors
-    new_fit, _, _ = anchor_fitness(new, wh, thr)
-    old_fit, _, _ = anchor_fitness(anchors.reshape(-1, 2), wh, thr)
-    if new_fit > old_fit:
+    # acceptance criterion is BPR, not fitness: the reference keeps the
+    # original anchors unless the NEW best-possible-recall beats the old
+    # ('Original anchors better than new anchors', autoanchor.py:51-53)
+    _, new_bpr, _ = anchor_fitness(new, wh, thr)
+    _, old_bpr, _ = anchor_fitness(anchors.reshape(-1, 2), wh, thr)
+    if new_bpr > old_bpr:
         out = new.reshape(anchors.shape)
         return check_anchor_order(out, strides)
+    logger.info("original anchors better than new anchors, keeping them")
     return anchors

@@ -9,7 +9,9 @@
 //
 // C ABI (consumed via ctypes from mmidet_tpu/data/native.py):
 //   int fl_batch_decode(const char** paths, int n, uint8_t* out, int size,
-//                       float* meta, int n_threads);
+//                       float* meta, int n_threads, int scaleup);
+// scaleup=0 clamps the resize ratio to <=1 (the reference's VAL-time
+// letterbox scaleup=False, datasets.py:1484-1487).
 // out:  n * size * size * 3 bytes (letterboxed, pad value 114)
 // meta: n * 3 floats (ratio, dw, dh) — same contract as letterbox_np
 // returns number of successfully decoded images (failures leave gray tiles).
@@ -123,8 +125,10 @@ bool decode_file(const char* path, Image* im) {
 // ----------------------------------------------------- bilinear letterbox --
 // Same contract as letterbox_np (datasets.py:2016 semantics): r = min(S/h,
 // S/w); resized content centered; pad 114.
-void letterbox(const Image& im, uint8_t* out, int S, float* meta) {
+void letterbox(const Image& im, uint8_t* out, int S, float* meta,
+               int scaleup) {
   float r = std::min(float(S) / im.h, float(S) / im.w);
+  if (!scaleup) r = std::min(r, 1.0f);
   int nw = int(std::lround(im.w * r));
   int nh = int(std::lround(im.h * r));
   float dw = (S - nw) / 2.0f;
@@ -168,7 +172,7 @@ void letterbox(const Image& im, uint8_t* out, int S, float* meta) {
 extern "C" {
 
 int fl_batch_decode(const char** paths, int n, uint8_t* out, int size,
-                    float* meta, int n_threads) {
+                    float* meta, int n_threads, int scaleup) {
   if (n_threads <= 0)
     n_threads = std::max(1u, std::thread::hardware_concurrency());
   n_threads = std::min(n_threads, n);
@@ -181,7 +185,7 @@ int fl_batch_decode(const char** paths, int n, uint8_t* out, int size,
       uint8_t* dst = out + size_t(i) * size * size * 3;
       float* m = meta + size_t(i) * 3;
       if (decode_file(paths[i], &im) && im.w > 0 && im.h > 0) {
-        letterbox(im, dst, size, m);
+        letterbox(im, dst, size, m, scaleup);
         ok_count.fetch_add(1);
       } else {
         std::memset(dst, 114, size_t(size) * size * 3);
