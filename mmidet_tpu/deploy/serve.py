@@ -66,6 +66,21 @@ class DetectionService:
         return records
 
 
+def _parse_multipart(body: bytes, content_type: str) -> dict[str, bytes]:
+    """Minimal multipart/form-data parser: {field name: raw bytes}.
+    (stdlib cgi is removed in py3.13; email.parser handles the framing)."""
+    import email.parser
+    import email.policy
+    msg = email.parser.BytesParser(policy=email.policy.default).parsebytes(
+        b"Content-Type: " + content_type.encode() + b"\r\n\r\n" + body)
+    parts = {}
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition")
+        if name:
+            parts[str(name)] = part.get_payload(decode=True)
+    return parts
+
+
 def make_handler(service: DetectionService):
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):
@@ -75,9 +90,20 @@ def make_handler(service: DetectionService):
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length)
             try:
-                payload = json.loads(body)
-                rgb = base64.b64decode(payload["rgb"])
-                ir = base64.b64decode(payload.get("ir", payload["rgb"]))
+                ctype = self.headers.get("Content-Type", "")
+                if ctype.startswith("multipart/form-data"):
+                    # the reference protocol (restapi.py:16-29 posts an
+                    # image file field); fields: 'image' (or 'rgb') + 'ir'
+                    parts = _parse_multipart(body, ctype)
+                    rgb = parts.get("image") or parts.get("rgb")
+                    if rgb is None:
+                        raise ValueError(
+                            "multipart needs an 'image' or 'rgb' part")
+                    ir = parts.get("ir", rgb)
+                else:
+                    payload = json.loads(body)
+                    rgb = base64.b64decode(payload["rgb"])
+                    ir = base64.b64decode(payload.get("ir", payload["rgb"]))
                 records = service.predict(rgb, ir)
                 out = json.dumps(records).encode()
                 self.send_response(200)

@@ -216,10 +216,9 @@ def custom(deploy_bundle: str, conf: float = 0.25, iou: float = 0.45,
            augment: bool = False):
     """Load from a deploy bundle dir (ref hubconf.custom)."""
     from mmidet_tpu.deploy.export import load_deploy_bundle
+    from mmidet_tpu.models.spec import is_two_stream
     spec, variables, meta = load_deploy_bundle(deploy_bundle)
-    two_stream = any(
-        (isinstance(l.f, tuple) and -4 in l.f) or l.f == -4
-        for l in spec.layers)
+    two_stream = is_two_stream(spec)
     model = TwoStreamDetector(spec=spec, use_cem=two_stream,
                               aux_mode="off", dtype=jnp.bfloat16)
     return AutoShapeModel(model, variables, meta["names"],

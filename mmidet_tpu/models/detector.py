@@ -157,21 +157,27 @@ class TwoStreamDetector(nn.Module):
                 x = [r, i_]
             elif m in ("GPT1", "GPT1_fourier"):
                 cls = PatternFusion if m == "GPT1" else FourierPatternFusion
+                fourier = m == "GPT1_fourier"
                 f_in = (inp[0], inp[1])
-                if self.aux_mode != "off":
+                # the reference computes contrastive/SSIM/entropy ONLY
+                # around GPT1_fourier (yolo_test.py:216-256; the GPT1
+                # branch's compute_fusing_loss call is commented out) —
+                # PTLoss is recorded for both variants
+                if self.aux_mode != "off" and fourier:
                     aux["contrastive"] = fusion_losses.contrastive_loss(
                         f_in[0], f_in[1])
                 r, i_, pt = cls(rl.args[0], use_pallas=self.pallas_fusion,
                                 dtype=dt, name=name)(inp[0], inp[1], train)
                 x = [r, i_]
                 if self.aux_mode != "off":
-                    fused = (r + i_) / 2.0
                     aux["pattern"] = pt
-                    aux["ssim"] = fusion_losses.fusing_loss(
-                        f_in[0], f_in[1], fused, fused)
-                    if self.aux_mode == "full":
-                        aux["entropy"] = fusion_losses.entropy_loss(
-                            f_in[0], f_in[1], fused)
+                    if fourier:
+                        fused = (r + i_) / 2.0
+                        aux["ssim"] = fusion_losses.fusing_loss(
+                            f_in[0], f_in[1], fused, fused)
+                        if self.aux_mode == "full":
+                            aux["entropy"] = fusion_losses.entropy_loss(
+                                f_in[0], f_in[1], fused)
             elif m == "Detect":
                 train_outs, pred = Detect(
                     nc=rl.args[0], anchors=rl.args[1],

@@ -34,10 +34,13 @@ def attempt_load_ensemble(bundles: list[str]):
     list of weights)."""
     from mmidet_tpu.deploy.export import load_deploy_bundle
     from mmidet_tpu.models.detector import TwoStreamDetector
+    from mmidet_tpu.models.spec import is_two_stream
     members = []
     for path in bundles:
         spec, variables, meta = load_deploy_bundle(path)
-        model = TwoStreamDetector(spec=spec, aux_mode="off",
-                                  dtype=jnp.bfloat16)
+        # single-stream bundles have no CEM ('enhance') params — derive
+        # use_cem from the spec exactly as hub.custom does
+        model = TwoStreamDetector(spec=spec, use_cem=is_two_stream(spec),
+                                  aux_mode="off", dtype=jnp.bfloat16)
         members.append((model, variables))
     return Ensemble(members)

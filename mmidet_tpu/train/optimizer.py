@@ -46,8 +46,12 @@ def label_params(params, groups: str = "fixed", freeze: tuple = ()):
             labels[path] = "frozen" if groups == "reference" else "bn"
         elif leaf == "bias":
             labels[path] = "bias"
-        elif leaf == "scale" or (leaf in ("scale", "bias") and "bn" in parent):
-            labels[path] = "bn"    # BatchNorm/LayerNorm scales: no decay
+        elif leaf == "scale":
+            # only nn.BatchNorm2d weights are decay-exempt in the
+            # reference (train.py:575-578); LayerNorm weights (the fusion
+            # transformers' ln_* gammas) land in the DECAYED group pg1
+            labels[path] = "bn" if parent.startswith("BatchNorm") \
+                else "weight"
         elif leaf in ("kernel", "embedding"):
             labels[path] = "weight"
         else:
@@ -66,6 +70,24 @@ def _sgd(lr_fn, mom_fn, weight_decay: float = 0.0):
     return optax.chain(*tx)
 
 
+def _opt_step_sched(sched: ScheduleConfig, accumulate: int):
+    """Rescale a micro-step ScheduleConfig to OPTIMIZER-step units.
+
+    The schedules live inside optax.MultiSteps, whose inner count only
+    advances on emit steps (once per ``accumulate`` micro-batches) — but
+    steps_per_epoch/warmup_floor are given in dataloader iterations (the
+    reference counts warmup in ni, train.py:758,765). Without this the
+    warmup lasts accumulate-times too long and the cosine never
+    finishes."""
+    import dataclasses
+    if accumulate <= 1:
+        return sched
+    return dataclasses.replace(
+        sched,
+        steps_per_epoch=max(round(sched.steps_per_epoch / accumulate), 1),
+        warmup_floor=max(round(sched.warmup_floor / accumulate), 1))
+
+
 def build_optimizer(params, sched: ScheduleConfig, weight_decay: float,
                     total_batch_size: int, nbs: int = 64,
                     groups: str = "fixed", accumulate: int | None = None,
@@ -76,15 +98,20 @@ def build_optimizer(params, sched: ScheduleConfig, weight_decay: float,
         accumulate = max(round(nbs / total_batch_size), 1)
     wd = weight_decay * total_batch_size * accumulate / nbs
     labels = label_params(params, groups, freeze)
+    s = _opt_step_sched(sched, accumulate)
     tx = optax.multi_transform({
-        "bn": _sgd(lr_schedule(sched), momentum_schedule(sched)),
-        "weight": _sgd(lr_schedule(sched), momentum_schedule(sched), wd),
-        "bias": _sgd(lr_schedule(sched, warmup_start=sched.warmup_bias_lr),
-                     momentum_schedule(sched)),
+        "bn": _sgd(lr_schedule(s), momentum_schedule(s)),
+        "weight": _sgd(lr_schedule(s), momentum_schedule(s), wd),
+        "bias": _sgd(lr_schedule(s, warmup_start=s.warmup_bias_lr),
+                     momentum_schedule(s)),
         "frozen": optax.set_to_zero(),
     }, labels)
     if accumulate > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
+        # use_grad_mean=False: the reference accumulates gradient SUMS via
+        # repeated loss.backward() (train.py:796); the mean would make
+        # every update accumulate-times smaller
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate,
+                              use_grad_mean=False)
     return tx, labels
 
 
@@ -96,6 +123,7 @@ def build_adam(params, sched: ScheduleConfig, weight_decay: float,
     accumulate = max(round(nbs / total_batch_size), 1)
     wd = weight_decay * total_batch_size * accumulate / nbs
     labels = label_params(params, groups, freeze)
+    s = _opt_step_sched(sched, accumulate)
 
     def adam(lr_fn, decay=0.0):
         tx = [optax.add_decayed_weights(decay)] if decay else []
@@ -106,11 +134,12 @@ def build_adam(params, sched: ScheduleConfig, weight_decay: float,
         return optax.chain(*tx)
 
     tx = optax.multi_transform({
-        "bn": adam(lr_schedule(sched)),
-        "weight": adam(lr_schedule(sched), wd),
-        "bias": adam(lr_schedule(sched, warmup_start=sched.warmup_bias_lr)),
+        "bn": adam(lr_schedule(s)),
+        "weight": adam(lr_schedule(s), wd),
+        "bias": adam(lr_schedule(s, warmup_start=s.warmup_bias_lr)),
         "frozen": optax.set_to_zero(),
     }, labels)
     if accumulate > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate,
+                              use_grad_mean=False)
     return tx, labels

@@ -105,7 +105,16 @@ def make_train_step(model, tx, anchors, hyp: LossHyp = LossHyp(),
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         import optax
         new_params = optax.apply_updates(state.params, updates)
+        # EMA advances only on OPTIMIZER steps (ref ModelEMA is updated
+        # inside 'if ni % accumulate == 0', train.py:798-804): under
+        # optax.MultiSteps, accumulation micro-steps emit zero updates and
+        # mini_step resets to 0 exactly when the inner optimizer stepped
+        mini = getattr(new_opt, "mini_step", None)
         new_ema = ema_update(state.ema, new_params, new_bs, ema_decay)
+        if mini is not None:
+            new_ema = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(mini == 0, a, b),
+                new_ema, state.ema)
         new_state = TrainState(params=new_params, batch_stats=new_bs,
                                opt_state=new_opt, ema=new_ema,
                                step=state.step + 1)

@@ -54,6 +54,31 @@ def test_detect_endpoint(server):
                 "name"} <= set(recs[0])
 
 
+def test_detect_endpoint_multipart(server):
+    """The reference protocol is a multipart file upload
+    (restapi.py:16-29) — the endpoint must accept it too."""
+    from PIL import Image
+    rng = np.random.default_rng(1)
+    img = (rng.random((48, 64, 3)) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "PNG")
+    png = buf.getvalue()
+    boundary = "xBOUNDx"
+    body = b""
+    for name in ("image", "ir"):
+        body += (f"--{boundary}\r\nContent-Disposition: form-data; "
+                 f'name="{name}"; filename="{name}.png"\r\n'
+                 "Content-Type: image/png\r\n\r\n").encode() + png + b"\r\n"
+    body += f"--{boundary}--\r\n".encode()
+    req = urllib.request.Request(
+        server + "/v1/object-detection", data=body,
+        headers={"Content-Type":
+                 f"multipart/form-data; boundary={boundary}"})
+    resp = urllib.request.urlopen(req, timeout=300)
+    assert resp.status == 200
+    assert isinstance(json.loads(resp.read()), list)
+
+
 def test_bad_payload_and_path(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(urllib.request.Request(

@@ -62,6 +62,67 @@ def test_train_step_runs_and_descends():
     assert int(state.ema["updates"]) == 4
 
 
+def test_accumulation_sums_gradients_and_rescales_schedule():
+    """Reference accumulation semantics (train.py:796-804): gradients SUM
+    over the accumulate window (not mean), and the LR schedule counts
+    dataloader micro-iterations. k micro-steps with gradient g must equal
+    one step with gradient k*g under a schedule pre-scaled to
+    optimizer-step units."""
+    import dataclasses as dc
+    import optax
+    params = {"m": {"kernel": jnp.ones((4, 4))},
+              "b": {"bias": jnp.zeros((4,))}}
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+    sched = ScheduleConfig(epochs=2, steps_per_epoch=8, warmup_epochs=0.0,
+                           warmup_floor=1)
+    # total_batch_size=16 -> accumulate = 64/16 = 4
+    tx, _ = build_optimizer(params, sched, weight_decay=0.0,
+                            total_batch_size=16)
+    st = tx.init(params)
+    p = params
+    for i in range(4):
+        upd, st = tx.update(g, st, p)
+        p = optax.apply_updates(p, upd)
+        if i < 3:  # no emit yet: params unchanged
+            assert np.allclose(p["m"]["kernel"], 1.0)
+    # manual control: accumulate=1 with the schedule already in
+    # optimizer-step units and the 4x-summed gradient
+    s1 = dc.replace(sched, steps_per_epoch=2, warmup_floor=1)
+    tx1, _ = build_optimizer(params, s1, weight_decay=0.0,
+                             total_batch_size=16, accumulate=1)
+    st1 = tx1.init(params)
+    g4 = jax.tree_util.tree_map(lambda x: 4.0 * x, g)
+    upd1, st1 = tx1.update(g4, st1, params)
+    p1 = optax.apply_updates(params, upd1)
+    np.testing.assert_allclose(np.asarray(p["m"]["kernel"]),
+                               np.asarray(p1["m"]["kernel"]), rtol=1e-6)
+
+
+def test_ema_advances_only_on_optimizer_steps():
+    """Reference ModelEMA updates inside 'if ni % accumulate == 0'
+    (train.py:798-804) — with gradient accumulation the EMA (and its ramp
+    counter) must not move on non-emit micro-steps."""
+    model, batch = _setup()
+    sched = ScheduleConfig(epochs=3, steps_per_epoch=4, warmup_epochs=0.0,
+                           warmup_floor=1)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           batch["rgb"], batch["ir"], train=False)
+    # total_batch_size=32 -> accumulate=2
+    tx, _ = build_optimizer(variables["params"], sched, weight_decay=0.0,
+                            total_batch_size=32)
+    anchors = _anchors(model.spec)
+    state = init_state(model, tx, jax.random.PRNGKey(0), batch["rgb"],
+                       batch["ir"])
+    step = jax.jit(make_train_step(model, tx, anchors, LossHyp()))
+    rng = jax.random.PRNGKey(1)
+    state, _ = step(state, batch, rng)   # micro-step 1: no emit
+    assert int(state.ema["updates"]) == 0
+    state, _ = step(state, batch, rng)   # micro-step 2: emit
+    assert int(state.ema["updates"]) == 1
+    state, _ = step(state, batch, rng)   # micro-step 3: no emit
+    assert int(state.ema["updates"]) == 1
+
+
 def test_param_labels():
     model, batch = _setup()
     v = model.init({"params": jax.random.PRNGKey(0)}, batch["rgb"],
