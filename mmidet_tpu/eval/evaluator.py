@@ -152,8 +152,11 @@ def evaluate(model, variables, loader, nc: int,
             if save_json is not None:
                 import os
                 files = batch.get("files")
-                image_id = os.path.splitext(os.path.basename(
-                    files[si]))[0] if files else si
+                stem = os.path.splitext(os.path.basename(
+                    files[si]))[0] if files else str(si)
+                # numeric stems become ints (ref test.py:189) — COCO
+                # ground truth uses int ids, string '000139' matches nothing
+                image_id = int(stem) if stem.isnumeric() else stem
                 for x1, y1, x2, y2, conf, cls in d:
                     json_records.append({
                         "image_id": image_id,

@@ -141,7 +141,8 @@ class Focus(nn.Module):
                 x[:, ::2, ::2, :], x[:, 1::2, ::2, :],
                 x[:, ::2, 1::2, :], x[:, 1::2, 1::2, :]], axis=-1)
             return ConvBnAct(self.features, k, s, act=self.act,
-                             dtype=self.dtype, name="conv")(y, train)
+                             fused=self.fused, dtype=self.dtype,
+                             name="conv")(y, train)
 
         p = autopad(k)
         kernel = self.param(
@@ -246,13 +247,14 @@ class VitTransformerBlock(nn.Module):
     features: int
     num_heads: int
     num_layers: int
+    fused: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if x.shape[-1] != self.features:
-            x = ConvBnAct(self.features, dtype=self.dtype,
-                          name="conv")(x, train)
+            x = ConvBnAct(self.features, fused=self.fused,
+                          dtype=self.dtype, name="conv")(x, train)
         b, h, w, c = x.shape
         p = x.reshape(b, h * w, c)
         p = p + nn.Dense(c, dtype=self.dtype, name="linear")(p)
@@ -276,8 +278,8 @@ class C3TR(nn.Module):
     def __call__(self, x, train: bool = False):
         c_ = int(self.features * self.expansion)
         y1 = ConvBnAct(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="cv1")(x, train)
-        y1 = VitTransformerBlock(c_, 4, self.n, dtype=self.dtype,
-                                 name="m")(y1, train)
+        y1 = VitTransformerBlock(c_, 4, self.n, fused=self.fused,
+                                 dtype=self.dtype, name="m")(y1, train)
         y2 = ConvBnAct(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="cv2")(x, train)
         y = jnp.concatenate([y1, y2], axis=-1)
         return ConvBnAct(self.features, 1, 1, fused=self.fused, dtype=self.dtype,
@@ -309,8 +311,8 @@ class BottleneckCSP(nn.Module):
         y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS, dtype=self.dtype, name="bn")(y)
         y = jax.nn.leaky_relu(y, 0.1)
-        return ConvBnAct(self.features, 1, 1, dtype=self.dtype,
-                         name="cv4")(y, train)
+        return ConvBnAct(self.features, 1, 1, fused=self.fused,
+                         dtype=self.dtype, name="cv4")(y, train)
 
 
 def _max_pool_same(x: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -411,16 +413,17 @@ class CrossConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # exactly TWO convs, as the reference (experimental.py:11-22):
+        # cv1 = Conv(c1, c_, (1,k), (1,s)); cv2 = Conv(c_, c2, (k,1),
+        # (s,1), g) — no extra 1x1 in front
         c_ = int(self.features * self.expansion)
-        y = ConvBnAct(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="cv1")(x, train)
-        # asymmetric kernels: (1,k) stride (1,s) then (k,1) stride (s,1)
         p = autopad(self.kernel)
         y = nn.Conv(c_, (1, self.kernel), strides=(1, self.stride),
                     padding=[(0, 0), (p, p)], use_bias=False,
                     kernel_init=conv_kernel_init, dtype=self.dtype,
-                    name="cv1b_conv")(y)
+                    name="cv1_conv")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=self.dtype, name="cv1b_bn")(y)
+                         epsilon=BN_EPS, dtype=self.dtype, name="cv1_bn")(y)
         y = jax.nn.silu(y)
         y = nn.Conv(self.features, (self.kernel, 1),
                     strides=(self.stride, 1), padding=[(p, p), (0, 0)],
@@ -507,7 +510,9 @@ class MixConv2d(nn.Module):
         y = jnp.concatenate(ys, axis=-1)
         y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS, dtype=self.dtype, name="bn")(y)
-        return jax.nn.leaky_relu(y, 0.1)
+        # residual, exactly as the reference: x + act(bn(cat(...)))
+        # (experimental.py:100)
+        return x + jax.nn.leaky_relu(y, 0.1)
 
 
 class Sum(nn.Module):
@@ -519,8 +524,11 @@ class Sum(nn.Module):
     @nn.compact
     def __call__(self, xs, train: bool = False):
         if self.weighted:
-            w = self.param("w", nn.initializers.constant(-1.6094),
-                           (self.n - 1,), jnp.float32)
+            # ref init: w = -arange(1, n) / 2 (experimental.py:31)
+            w = self.param(
+                "w", lambda key, shape, dtype:
+                -jnp.arange(1, self.n, dtype=dtype) / 2.0,
+                (self.n - 1,), jnp.float32)
             w = jax.nn.sigmoid(w) * 2
             y = xs[0]
             for i in range(self.n - 1):

@@ -115,12 +115,20 @@ class MambaBlock(nn.Module):
                       name="in_proj")(x)
         xs, z = jnp.split(xz, 2, axis=-1)
 
-        # depthwise causal conv over length
-        conv_k = self.param("conv1d_kernel",
-                            nn.initializers.lecun_normal(),
-                            (cfg.d_conv, 1, di), jnp.float32)
-        conv_b = self.param("conv1d_bias", nn.initializers.zeros, (di,),
-                            jnp.float32)
+        # depthwise causal conv over length; torch Conv1d default init is
+        # kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)), fan_in =
+        # d_conv for a depthwise kernel (ref mamba.py uses nn.Conv1d)
+        bound = 1.0 / math.sqrt(cfg.d_conv)
+        conv_k = self.param(
+            "conv1d_kernel",
+            lambda key, shape, dtype: jax.random.uniform(
+                key, shape, dtype, -bound, bound),
+            (cfg.d_conv, 1, di), jnp.float32)
+        conv_b = self.param(
+            "conv1d_bias",
+            lambda key, shape, dtype: jax.random.uniform(
+                key, shape, dtype, -bound, bound),
+            (di,), jnp.float32)
         xp = jnp.pad(xs, ((0, 0), (cfg.d_conv - 1, 0), (0, 0)))
         xc = jax.lax.conv_general_dilated(
             xp, conv_k.astype(self.dtype), (1,), [(0, 0)],
@@ -145,7 +153,16 @@ class MambaBlock(nn.Module):
         dbc = nn.Dense(cfg.rank + 2 * n, use_bias=False, dtype=self.dtype,
                        name="x_proj")(x)
         delta, Bm, Cm = jnp.split(dbc, [cfg.rank, cfg.rank + n], axis=-1)
+        # dt_proj kernel init: U(+-dt_rank^-0.5), the reference's
+        # dt_init='random' scheme (mamba.py:138-142); the bias encodes the
+        # softplus-inverse dt schedule (below)
+        dt_std = cfg.rank ** -0.5
+
+        def _dt_kernel_init(key, shape, dtype):
+            return jax.random.uniform(key, shape, dtype, -dt_std, dt_std)
+
         delta = nn.Dense(di, use_bias=True, dtype=self.dtype,
+                         kernel_init=_dt_kernel_init,
                          bias_init=_dt_bias_init(cfg), name="dt_proj")(delta)
         delta = jax.nn.softplus(delta.astype(jnp.float32))  # (b, l, di)
 

@@ -149,6 +149,10 @@ def _torch_key(path: tuple[str, ...], collection: str) -> tuple[str, str]:
                 out.append("sobel")
             elif s == "conv_bn":     # Focus's BN (reference conv.bn)
                 out.append("conv.bn")
+            elif re.fullmatch(r"cv\d+_(conv|bn)", s):
+                # CrossConv's flat cvN_conv/cvN_bn -> reference cvN.conv /
+                # cvN.bn (its cv1/cv2 are Conv modules, experimental.py:17)
+                out.append(s.replace("_", "."))
             else:
                 out.append(s)
         i += 1

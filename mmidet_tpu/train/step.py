@@ -43,10 +43,13 @@ jax.tree_util.register_pytree_node(
     lambda aux, c: TrainState(*c))
 
 
-def init_state(model, tx, rng, sample_rgb, sample_ir=None):
-    """Initialise params/batch_stats/optimizer/EMA."""
-    variables = model.init({"params": rng}, sample_rgb, sample_ir,
-                           train=False)
+def init_state(model, tx, rng, sample_rgb, sample_ir=None, variables=None):
+    """Initialise params/batch_stats/optimizer/EMA.  Pass ``variables`` to
+    reuse an existing init (a full detector init traces the whole forward
+    — doing it twice doubles startup cost)."""
+    if variables is None:
+        variables = model.init({"params": rng}, sample_rgb, sample_ir,
+                               train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     opt_state = tx.init(params)

@@ -306,7 +306,8 @@ def train(cfg: TrainConfig) -> dict:
     tx, _ = build(variables["params"], sched, hyp["weight_decay"],
                   total_batch_size=cfg.batch_size,
                   groups=cfg.optimizer_groups, freeze=tuple(cfg.freeze))
-    state = init_state(model, tx, jax.random.PRNGKey(cfg.seed), small, small)
+    state = init_state(model, tx, jax.random.PRNGKey(cfg.seed), small,
+                       small, variables=variables)
     if cfg.weights:  # pretrained init (ref --weights + intersect_dicts)
         loaded = load_pretrained_variables(cfg.weights,
                                            {"params": state.params,
@@ -416,7 +417,8 @@ def train(cfg: TrainConfig) -> dict:
             res = evaluate(eval_model, ema_vars, val_loader_fn(), nc,
                            names=names)
             fit = float(fitness(res.fitness_vector())[0])
-            if fit > best_fit:
+            is_best = fit > best_fit
+            if is_best:
                 best_fit = fit
             if not cfg.nosave or final:
                 save_checkpoint(ckpt_dir, state, epoch,
@@ -424,8 +426,20 @@ def train(cfg: TrainConfig) -> dict:
                                           "best_fitness": best_fit,
                                           "fitness": fit})
                 saved_this_epoch = True
+            if is_best and not cfg.nosave:
+                # the reference keeps best.pt whenever fi == best_fitness
+                # (train.py:893-894); the rolling keep=3 last-checkpoints
+                # would otherwise garbage-collect the best epoch
+                save_checkpoint(os.path.join(workdir, "ckpt_best"), state,
+                                epoch, metadata={"epoch": epoch,
+                                                 "best_fitness": best_fit,
+                                                 "fitness": fit}, keep=1)
+            # unevaluated classes default to the MEAN mAP, as the
+            # reference (maps = np.zeros(nc) + map, test.py:305) — zero
+            # would maximally oversample absent classes via (1-maps)^2
+            maps[:] = res.map
             for i, nm in enumerate(names):
-                maps[i] = res.per_class.get(nm, {}).get("ap", 0.0)
+                maps[i] = res.per_class.get(nm, {}).get("ap", res.map)
             with open(results_path, "a") as fh:
                 fh.write(
                     f"{epoch}/{cfg.epochs - 1} "
@@ -466,7 +480,16 @@ def train(cfg: TrainConfig) -> dict:
         plot_results(results_path)
     except Exception:
         pass
-    deploy = strip_for_deploy(state)
+    # deploy weights come from the BEST checkpoint when one was kept (the
+    # reference strips best.pt for distribution, general.py:584-598)
+    deploy_state = state
+    best_dir = os.path.join(workdir, "ckpt_best")
+    if os.path.isdir(best_dir):
+        try:
+            deploy_state, _, _ = restore_checkpoint(best_dir, state)
+        except Exception:
+            pass
+    deploy = strip_for_deploy(deploy_state)
     return {"workdir": workdir, "best_fitness": best_fit,
             "deploy": deploy, "state": state,
             "last_results": res, "nc": nc, "names": names, "spec": spec}
