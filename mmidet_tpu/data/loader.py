@@ -176,6 +176,11 @@ class MosaicLoader:
             try:
                 for b in range(nb):
                     sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
+                    # companions sample UNIFORMLY even under
+                    # --image-weights: the two-stream reference draws them
+                    # from self.indices_rgb = range(n) (datasets.py:1223,
+                    # 1794), which the train loop's weighted resample
+                    # never touches (only base indices are reweighted)
                     groups_idx = [[int(i)] + [int(x) for x in
                                   rng.integers(0, len(self.ds), 3)]
                                   for i in sel]
