@@ -147,8 +147,11 @@ def _kernel(rgb_hbm, ir_hbm, pos, lnf_s, lnf_b, *wops_and_outs,
 
     toks = []
     for j in range(tb):
-        toks.append(_pool8(rgb_v[j][:], h, w))        # (64, C)
-        toks.append(_pool8(ir_v[j][:], h, w))
+        # stream scratches are FLAT (H*W, C) — H*W is 8-sublane aligned
+        # at every level (incl. 20x20 -> 400), unlike W itself; the
+        # value-level reshape restores the 2-D view for the pool math
+        toks.append(_pool8(rgb_v[j][:].reshape(h, w, -1), h, w))  # (64, C)
+        toks.append(_pool8(ir_v[j][:].reshape(h, w, -1), h, w))
     tok = jnp.concatenate(toks, axis=0)               # (tb*128, C)
     posb = jnp.concatenate([pos[0]] * tb, axis=0)
     tok = (tok.astype(jnp.float32) + posb.astype(jnp.float32)
@@ -158,8 +161,8 @@ def _kernel(rgb_hbm, ir_hbm, pos, lnf_s, lnf_b, *wops_and_outs,
     for j in range(tb):
         zr = a[j * 128:j * 128 + 64].reshape(8, 8, c)
         zi = a[j * 128 + 64:(j + 1) * 128].reshape(8, 8, c)
-        rgb_v[j][:] = rgb_v[j][:] + _upsample(zr, h, w)
-        ir_v[j][:] = ir_v[j][:] + _upsample(zi, h, w)
+        rgb_v[j][:] = rgb_v[j][:] + _upsample(zr, h, w).reshape(h * w, c)
+        ir_v[j][:] = ir_v[j][:] + _upsample(zi, h, w).reshape(h * w, c)
 
     cps = []
     for j in range(tb):
@@ -215,8 +218,8 @@ def _kernel_stream(rgb_hbm, ir_hbm, pos, lnf_s, lnf_b, *refs,
         dma_streams_in()
         toks = []
         for j in range(tb):
-            toks.append(_pool8(rgb_v[j][:], h, w))
-            toks.append(_pool8(ir_v[j][:], h, w))
+            toks.append(_pool8(rgb_v[j][:].reshape(h, w, -1), h, w))
+            toks.append(_pool8(ir_v[j][:].reshape(h, w, -1), h, w))
         tok = jnp.concatenate(toks, axis=0)           # (tb*128, C)
         posb = jnp.concatenate([pos[0]] * tb, axis=0)
         tok = (tok.astype(jnp.float32) + posb.astype(jnp.float32)
@@ -235,8 +238,10 @@ def _kernel_stream(rgb_hbm, ir_hbm, pos, lnf_s, lnf_b, *refs,
         for j in range(tb):
             zr = af[j * 128:j * 128 + 64].reshape(8, 8, c)
             zi = af[j * 128 + 64:(j + 1) * 128].reshape(8, 8, c)
-            rgb_v[j][:] = rgb_v[j][:] + _upsample(zr, h, w)
-            ir_v[j][:] = ir_v[j][:] + _upsample(zi, h, w)
+            rgb_v[j][:] = rgb_v[j][:] + _upsample(zr, h, w).reshape(
+                h * w, c)
+            ir_v[j][:] = ir_v[j][:] + _upsample(zi, h, w).reshape(
+                h * w, c)
         cps = []
         for j in range(tb):
             cps.append(pltpu.make_async_copy(
@@ -261,12 +266,11 @@ def _tile_b(b: int, h: int, w: int, c: int) -> int:
 
 def merge_kernel_supported(h: int, w: int, c: int) -> bool:
     """Whether fused_gpt_merge can run on real-TPU Mosaic for this map
-    shape.  The per-image whole-ref DMA slices the (B, H, W, C) stream
-    along W, and Mosaic requires that slice aligned to the 8-sublane
-    tiling — W % 8 != 0 (e.g. the 20x20 P5 level at 640 px) fails to
-    lower.  Callers fall back to the XLA pool->transformer->upsample
-    sequence."""
-    return w % 8 == 0
+    shape.  The streams travel FLAT as (B, H*W, C), so the per-image DMA
+    slice needs H*W aligned to the 8-sublane tiling — true for every
+    pyramid level (20x20 -> 400), where W alone (20) is not.  Callers
+    fall back to the XLA pool->transformer->upsample sequence."""
+    return (h * w) % 8 == 0
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
@@ -291,7 +295,11 @@ def fused_gpt_merge(rgb: jnp.ndarray, ir: jnp.ndarray, stacked: dict,
     budget = (88 << 20) - act_bytes - 2 * layer_bytes
     stream = c >= 256 and L >= 2 and budget >= per_img
 
-    ops = [rgb.astype(jnp.bfloat16), ir.astype(jnp.bfloat16),
+    # flat (B, H*W, C) stream layout: H*W is 8-sublane aligned at every
+    # level (W alone is not, e.g. 20 at P5) and the per-image DMA slices
+    # dim 0 of a 2-D ref
+    ops = [rgb.astype(jnp.bfloat16).reshape(b, h * w, c),
+           ir.astype(jnp.bfloat16).reshape(b, h * w, c),
            pos_emb.astype(jnp.float32).reshape(1, 128, c),
            lnf_scale.astype(jnp.float32).reshape(1, c),
            lnf_bias.astype(jnp.float32).reshape(1, c)]
@@ -314,8 +322,8 @@ def fused_gpt_merge(rgb: jnp.ndarray, ir: jnp.ndarray, stacked: dict,
         else:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 
-    out_shape = (jax.ShapeDtypeStruct((b, h, w, c), jnp.bfloat16),
-                 jax.ShapeDtypeStruct((b, h, w, c), jnp.bfloat16))
+    out_shape = (jax.ShapeDtypeStruct((b, h * w, c), jnp.bfloat16),
+                 jax.ShapeDtypeStruct((b, h * w, c), jnp.bfloat16))
     if stream:
         tb = max(1, min(8, int(budget // per_img)))
         while b % tb:
@@ -330,9 +338,10 @@ def fused_gpt_merge(rgb: jnp.ndarray, ir: jnp.ndarray, stacked: dict,
         kernel = functools.partial(_kernel, h=h, w=w, tb=tb,
                                    num_heads=num_heads, n_layer=L)
         scratch = []
-    scratch += [pltpu.VMEM((h, w, c), jnp.bfloat16) for _ in range(2 * tb)]
+    scratch += [pltpu.VMEM((h * w, c), jnp.bfloat16)
+                for _ in range(2 * tb)]
     scratch += [pltpu.SemaphoreType.DMA((2 * tb,))]
-    return pl.pallas_call(
+    ro, io = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
@@ -344,3 +353,4 @@ def fused_gpt_merge(rgb: jnp.ndarray, ir: jnp.ndarray, stacked: dict,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*ops)
+    return ro.reshape(b, h, w, c), io.reshape(b, h, w, c)

@@ -19,6 +19,7 @@ def _rand_tree(tree, rng):
 
 
 @pytest.mark.parametrize("d,hw,b", [(64, 40, 2), (128, 24, 3),
+                                    (64, 20, 2),    # W%8!=0, H*W aligned
                                     (256, 16, 4),   # layer-major streaming
                                     (256, 16, 3)])  # streaming, odd batch
 def test_merge_kernel_matches_xla(d, hw, b):
@@ -45,16 +46,20 @@ def test_merge_kernel_matches_xla(d, hw, b):
 
 
 def test_merge_kernel_unaligned_falls_back():
-    """W % 8 != 0 (e.g. the 20x20 P5 level) cannot lower on Mosaic — the
-    module must return the PLAIN (unmerged) outputs, identical to
-    merge_kernel=False, and merge_kernel_supported must say so (the
-    detector keys its Add2-select bookkeeping off the same gate)."""
+    """H*W % 8 != 0 cannot lower on Mosaic (the flat stream DMA slices an
+    8-sublane-tiled ref) — the module must return the PLAIN (unmerged)
+    outputs, identical to merge_kernel=False, and merge_kernel_supported
+    must say so (the detector keys its Add2-select bookkeeping off the
+    same gate).  The flat (H*W, C) layout makes every pyramid level
+    supported (20x20 -> 400 rows), so the fallback needs a pathological
+    5x5 map."""
     from mmidet_tpu.nn.fusion_pallas import merge_kernel_supported
 
-    assert not merge_kernel_supported(20, 20, 1024)
+    assert merge_kernel_supported(20, 20, 1024)  # P5 at 640px: 400 rows
     assert merge_kernel_supported(40, 40, 512)
+    assert not merge_kernel_supported(5, 5, 64)
 
-    d, hw, b = 64, 20, 2
+    d, hw, b = 64, 5, 2
     xla = CrossModalTransformer(d, n_layer=2, dtype=jnp.float32)
     ker = CrossModalTransformer(d, n_layer=2, merge_kernel=True,
                                 dtype=jnp.float32)
