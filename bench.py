@@ -4,35 +4,64 @@ North-star metric (BASELINE.md): >= 2000 paired 640px img/s/chip at
 yolov5s-twostream.  Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N}
 
-The measured program is the full detector forward (bf16, NHWC) including the
-on-device Detect decode; NMS timing is reported separately on stderr (the
-reference also reports inference/NMS split, test.py:261-263).
+Robustness (this file is the round's official perf evidence channel —
+round 1 lost its record to a tunnel outage, BENCH_r01.json rc=1):
+
+  * the parent process NEVER imports jax — when the axon relay is down,
+    ``import jax`` itself hangs in every process (sitecustomize dials the
+    dead relay), so all jax work happens in a child subprocess under a
+    hard timeout;
+  * bounded retry with backoff on child failure/timeout (tunnel hiccups
+    are transient; full outages are not — we give up after BENCH_RETRIES);
+  * the child stages each measured config to BENCH_partial.json AS
+    MEASURED, so a mid-run crash still leaves a parseable record;
+  * on total failure the parent emits a machine-readable error record in
+    the same one-line-JSON shape (value 0.0) instead of a traceback.
+
+The measured program is the full detector forward (bf16, NHWC, BN folded)
+including the on-device Detect decode; NMS timing is reported separately
+on stderr (the reference also reports an inference/NMS split,
+test.py:261-263).  Timing is an on-device lax.scan loop whose carry feeds
+the inputs — per-call dispatch + host sync over the tunnel would otherwise
+dominate (~2.4 ms/op), and a carry-independent body would be hoisted.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-
 BASELINE_IMG_S = 2000.0
+METRIC = "yolov5s_twostream_640_paired_inference"
+PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_partial.json")
 
 
-def main():
+def _measure():
+    """Child process: the actual benchmark (requires the real TPU)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from mmidet_tpu.models.detector import TwoStreamDetector
     from mmidet_tpu.models.zoo import two_stream_spec
+    from mmidet_tpu.nn.fuse import fold_batchnorm
     from mmidet_tpu.ops.nms import non_max_suppression
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    platform = jax.devices()[0].platform
+    if platform != "tpu":
+        raise RuntimeError(
+            f"bench requires the real TPU, got platform={platform!r} "
+            "(refusing to report CPU numbers as chip throughput)")
+
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     img = 640
     spec = two_stream_spec("s", "gpt4", nc=6)
     # deploy configuration: bf16, BN folded into convs (fuse_conv_and_bn
     # parity), batch sized to saturate the chip
-    from mmidet_tpu.nn.fuse import fold_batchnorm
     base = TwoStreamDetector(spec=spec, aux_mode="off", dtype=jnp.bfloat16)
     model = TwoStreamDetector(spec=spec, aux_mode="off", fused=True,
                               pallas_fusion=True, dtype=jnp.bfloat16)
@@ -50,8 +79,6 @@ def main():
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
         variables)
 
-    # timing via an on-device scan loop: per-call dispatch + host sync over
-    # the tunnel would otherwise dominate (measured ~2.4 ms/op overhead)
     iters = int(os.environ.get("BENCH_ITERS", "8"))
 
     @jax.jit
@@ -62,7 +89,6 @@ def main():
         c, _ = jax.lax.scan(body, jnp.bfloat16(0.0), None, length=iters)
         return c
 
-    import numpy as np
     float(np.asarray(loop(variables, rgb, ir)))  # compile + warmup
     dt = float("inf")
     for _ in range(3):  # best-of-3: tunnel jitter is one-sided (slow-only)
@@ -70,14 +96,22 @@ def main():
         float(np.asarray(loop(variables, rgb, ir)))
         dt = min(dt, time.perf_counter() - t0)
     img_s = batch * iters / dt
-    pred = jax.jit(lambda v, r, i: model.apply(
-        v, r, i, train=False)["pred"])(variables, rgb, ir)
+
+    record = {
+        "metric": METRIC,
+        "value": round(img_s, 1),
+        "unit": "img/s",
+        "vs_baseline": round(img_s / BASELINE_IMG_S, 3),
+    }
+    _stage_partial(dict(record, batch=batch, ms_per_img=round(1e3 / img_s, 3),
+                        device=jax.devices()[0].device_kind))
 
     # NMS timing (reported separately, as the reference does) — optional:
     # it costs a second large compile over the tunnel
     nms_ms = -1.0
     if os.environ.get("BENCH_NMS", "0") == "1":
-        import numpy as np
+        pred = jax.jit(lambda v, r, i: model.apply(
+            v, r, i, train=False)["pred"])(variables, rgb, ir)
         nms = jax.jit(lambda p: non_max_suppression(p.astype(jnp.float32),
                                                     0.25, 0.45))
         d, v = nms(pred)
@@ -91,13 +125,113 @@ def main():
     print(f"inference: {1e3 / img_s:.2f} ms/img, nms: {nms_ms:.2f} ms/img "
           f"(-1 = skipped), batch={batch}, "
           f"device={jax.devices()[0].device_kind}", file=sys.stderr)
-    print(json.dumps({
-        "metric": "yolov5s_twostream_640_paired_inference",
-        "value": round(img_s, 1),
+    print(json.dumps(record))
+
+
+def _stage_partial(record: dict) -> None:
+    """Append a measured record to BENCH_partial.json (one JSON per line)."""
+    record = dict(record, ts=time.strftime("%Y-%m-%dT%H:%M:%S"))
+    try:
+        with open(PARTIAL_PATH, "a") as f:
+            f.write(json.dumps(record) + "\n")
+    except OSError:
+        pass
+
+
+def _last_partial() -> dict | None:
+    """Most recent staged headline measurement, if any."""
+    try:
+        with open(PARTIAL_PATH) as f:
+            lines = [json.loads(x) for x in f if x.strip()]
+    except (OSError, ValueError):
+        return None
+    lines = [r for r in lines if r.get("metric") == METRIC
+             and r.get("value", 0) > 0]
+    return lines[-1] if lines else None
+
+
+def _probe_tpu(timeout: int) -> str | None:
+    """Cheap child probe: is the TPU reachable?  Returns None if yes, else
+    the error string.  A dead relay makes ``import jax`` HANG (not raise),
+    so the probe runs in its own subprocess under a short timeout."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); "
+             "assert d[0].platform == 'tpu', d; print(d[0].device_kind)"],
+            capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return f"probe hang >{timeout}s (axon relay down)"
+    if proc.returncode != 0:
+        err = proc.stderr.strip().splitlines()
+        return f"probe rc={proc.returncode}: {err[-1] if err else 'no output'}"
+    return None
+
+
+def main():
+    timeout = int(os.environ.get("BENCH_TIMEOUT", "2400"))
+    probe_timeout = int(os.environ.get("BENCH_PROBE_TIMEOUT", "120"))
+    retries = int(os.environ.get("BENCH_RETRIES", "2"))
+    backoff = int(os.environ.get("BENCH_BACKOFF", "60"))
+    budget = int(os.environ.get("BENCH_TOTAL_BUDGET", "3600"))
+    t_start = time.monotonic()
+
+    last_err = "unknown"
+    for attempt in range(retries + 1):
+        if time.monotonic() - t_start > budget:
+            last_err = f"total budget {budget}s exhausted ({last_err})"
+            break
+        # cheap reachability gate first: a hung tunnel costs probe_timeout,
+        # not the full measurement timeout
+        probe_err = _probe_tpu(probe_timeout)
+        if probe_err is not None:
+            last_err = probe_err
+            print(f"bench attempt {attempt + 1}: {last_err}", file=sys.stderr)
+            if attempt < retries:
+                time.sleep(backoff)
+            continue
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child",
+                 *sys.argv[1:]],
+                capture_output=True, text=True, timeout=timeout)
+        except subprocess.TimeoutExpired:
+            last_err = f"timeout after {timeout}s (tunnel hang?)"
+            print(f"bench attempt {attempt + 1}: {last_err}", file=sys.stderr)
+        else:
+            sys.stderr.write(proc.stderr[-4000:])
+            out = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+            if proc.returncode == 0 and out:
+                print(out[-1])  # the one JSON line
+                return
+            last_err = (f"rc={proc.returncode}: "
+                        + (proc.stderr.strip().splitlines()[-1]
+                           if proc.stderr.strip() else "no output"))
+            print(f"bench attempt {attempt + 1} failed: {last_err}",
+                  file=sys.stderr)
+        if attempt < retries:
+            time.sleep(backoff)
+
+    # all attempts failed: emit a machine-readable record, not a traceback.
+    # If a previous successful measurement was staged, surface it (flagged
+    # as stale) so the round is not recorded as zero-evidence.
+    prev = _last_partial()
+    record = {
+        "metric": METRIC,
+        "value": 0.0,
         "unit": "img/s",
-        "vs_baseline": round(img_s / BASELINE_IMG_S, 3),
-    }))
+        "vs_baseline": 0.0,
+        "error": f"tpu unavailable after {retries + 1} attempts: {last_err}",
+    }
+    if prev is not None:
+        record["stale_previous_measurement"] = {
+            "value": prev["value"], "ts": prev.get("ts")}
+    print(json.dumps(record))
+    sys.exit(0)  # the JSON error record IS the result; rc=0 so it's recorded
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        _measure()
+    else:
+        main()

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+from collections import OrderedDict
 
 import jax
 import jax.numpy as jnp
@@ -20,8 +21,12 @@ from mmidet_tpu.eval.metrics import (ap_per_class, coco80_to_coco91_class,
 from mmidet_tpu.ops.nms import non_max_suppression
 
 # persistent jit cache: defining the jitted infer inside evaluate() would
-# re-trace and re-compile on every call (every eval epoch)
-_INFER_CACHE: dict = {}
+# re-trace and re-compile on every call (every eval epoch).  LRU-bounded:
+# each entry pins a compiled executable AND the closed-over model, so an
+# unbounded dict leaks both across long-lived processes (serve, evolve,
+# study sweeps)
+_INFER_CACHE_MAX = 8
+_INFER_CACHE: "OrderedDict" = OrderedDict()
 
 
 def _get_infer(model, conf_thres, iou_thres, max_det, two_stream,
@@ -32,7 +37,9 @@ def _get_infer(model, conf_thres, iou_thres, max_det, two_stream,
     except TypeError:
         key = (id(model), conf_thres, iou_thres, max_det, two_stream,
                augment)
-    if key not in _INFER_CACHE:
+    if key in _INFER_CACHE:
+        _INFER_CACHE.move_to_end(key)
+    else:
         @jax.jit
         def infer(variables, rgb, ir):
             def fwd(r, i=None):
@@ -54,6 +61,8 @@ def _get_infer(model, conf_thres, iou_thres, max_det, two_stream,
                 iou_thres=iou_thres, max_det=max_det,
                 pre_nms_topk=30000, multi_label=True)
         _INFER_CACHE[key] = infer
+        while len(_INFER_CACHE) > _INFER_CACHE_MAX:
+            _INFER_CACHE.popitem(last=False)
     return _INFER_CACHE[key]
 
 

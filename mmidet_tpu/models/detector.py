@@ -144,7 +144,8 @@ class TwoStreamDetector(nn.Module):
                          and merge_kernel_supported(
                              inp[0].shape[1], inp[0].shape[2], rl.args[0]))
                 r, i_ = CrossModalTransformer(
-                    rl.args[0], use_pallas=self.pallas_fusion,
+                    rl.args[0], n_layer=self.spec.fusion_layers,
+                    use_pallas=self.pallas_fusion,
                     merge_kernel=merge, dtype=dt,
                     name=name)(inp[0], inp[1], train)
                 x = [r, i_]
@@ -166,7 +167,8 @@ class TwoStreamDetector(nn.Module):
                 if self.aux_mode != "off" and fourier:
                     aux["contrastive"] = fusion_losses.contrastive_loss(
                         f_in[0], f_in[1])
-                r, i_, pt = cls(rl.args[0], use_pallas=self.pallas_fusion,
+                r, i_, pt = cls(rl.args[0], n_layer=self.spec.fusion_layers,
+                                use_pallas=self.pallas_fusion,
                                 dtype=dt, name=name)(inp[0], inp[1], train)
                 x = [r, i_]
                 if self.aux_mode != "off":

@@ -48,6 +48,9 @@ class ModelSpec:
     width_multiple: float = 1.0
     ch_in: int = 3
     strides: tuple[int, ...] = (8, 16, 32)
+    # depth of each fusion transformer (GPT/GPT1*; ref hardcodes 8 blocks,
+    # common.py:1286).  Smoke/dryrun specs cut this to keep compiles cheap.
+    fusion_layers: int = 8
 
     @property
     def na(self) -> int:

@@ -25,6 +25,7 @@ from __future__ import annotations
 from mmidet_tpu.models.spec import SECOND_INPUT, LayerDef, ModelSpec
 
 SCALES = {
+    "t": (0.25, 0.125),  # tiny smoke scale (dryrun/CI; no reference analog)
     "s": (0.33, 0.50),
     "m": (0.67, 0.75),
     "l": (1.00, 1.00),
@@ -65,7 +66,7 @@ def _head(p3: int, p4: int, p5: int, base: int) -> list[LayerDef]:
 
 
 def two_stream_spec(scale: str = "l", fusion: str = "fourier", nc: int = 6,
-                    anchors=COCO_ANCHORS) -> ModelSpec:
+                    anchors=COCO_ANCHORS, fusion_layers: int = 8) -> ModelSpec:
     """Two-stream RGB+IR detector spec."""
     L = LayerDef
     gd, gw = SCALES[scale]
@@ -188,7 +189,8 @@ def two_stream_spec(scale: str = "l", fusion: str = "fourier", nc: int = 6,
         raise ValueError(f"unknown fusion {fusion!r}")
 
     return ModelSpec(nc=nc, anchors=tuple(anchors), layers=tuple(layers),
-                     depth_multiple=gd, width_multiple=gw)
+                     depth_multiple=gd, width_multiple=gw,
+                     fusion_layers=fusion_layers)
 
 
 def single_stream_spec(scale: str = "s", nc: int = 80,

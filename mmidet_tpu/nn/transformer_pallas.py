@@ -61,7 +61,7 @@ def _layernorm(x, scale, bias, eps=1e-5):
     return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
 
 
-def transformer_layer(a, ws, *, num_heads):
+def transformer_layer(a, ws, *, num_heads, ablate=None):
     """One pre-LN attention+MLP block on (m, d) bf16 tokens (m = tb*128).
 
     ``ws`` holds THIS layer's weight arrays (already indexed out of any
@@ -74,12 +74,23 @@ def transformer_layer(a, ws, *, num_heads):
     contractions (zeroing other heads' columns makes the sum collapse to
     head g's dk columns exactly) — (.., dk)-shaped tensors would waste
     dk/128 lanes and every slice would relayout.
+
+    ``ablate`` (time-attribution probes ONLY — wrong math by design):
+    'noln' replaces LayerNorm with a cast, 'nosm' replaces softmax with a
+    scale, 'nogelu' replaces GELU with 0.5x.  tools/_probe_abl.py uses
+    these to attribute kernel time; never set in the model paths.
     """
     m, d = a.shape
     h = num_heads
     dk = d // h
+    assert ablate in (None, "noln", "nosm", "nogelu"), ablate
 
-    y = _layernorm(a, ws["ln1_scale"], ws["ln1_bias"]).astype(jnp.bfloat16)
+    def ln(x, scale, bias):
+        if ablate == "noln":
+            return x.astype(jnp.float32)  # ABLATED ln
+        return _layernorm(x, scale, bias)
+
+    y = ln(a, ws["ln1_scale"], ws["ln1_bias"]).astype(jnp.bfloat16)
 
     def proj(wn, bn):
         o = jnp.dot(y, ws[wn], preferred_element_type=jnp.float32)
@@ -106,7 +117,10 @@ def transformer_layer(a, ws, *, num_heads):
     s = jax.lax.dot_general(
         qp, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * inv           # (tb, h*n, n)
-    p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+    if ablate == "nosm":
+        p = (s * 0.007).astype(jnp.bfloat16)  # ABLATED softmax
+    else:
+        p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
     c = jax.lax.dot_general(
         p, v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)                 # (tb, h*n, d)
@@ -116,11 +130,14 @@ def transformer_layer(a, ws, *, num_heads):
     o = o + ws["bo"].astype(jnp.float32)
     a = (a.astype(jnp.float32) + o).astype(jnp.bfloat16)
 
-    y = _layernorm(a, ws["ln2_scale"], ws["ln2_bias"]).astype(jnp.bfloat16)
+    y = ln(a, ws["ln2_scale"], ws["ln2_bias"]).astype(jnp.bfloat16)
     hdn = jnp.dot(y, ws["w1"], preferred_element_type=jnp.float32)
     hdn = hdn + ws["b1"].astype(jnp.float32)
-    # exact (erf) GELU, as the reference's nn.GELU
-    hdn = 0.5 * hdn * (1.0 + _erf(hdn * (1.0 / math.sqrt(2.0))))
+    if ablate == "nogelu":
+        hdn = 0.5 * hdn  # ABLATED gelu
+    else:
+        # exact (erf) GELU, as the reference's nn.GELU
+        hdn = 0.5 * hdn * (1.0 + _erf(hdn * (1.0 / math.sqrt(2.0))))
     hdn = hdn.astype(jnp.bfloat16)
     o = jnp.dot(hdn, ws["w2"], preferred_element_type=jnp.float32)
     o = o + ws["b2"].astype(jnp.float32)
@@ -141,7 +158,7 @@ def _layer_ws(l, ln1s, ln1b, wq, wk, wv, bq, bk, bv, wo, bo, ln2s, ln2b,
             "w1": w1[0], "b1": b1[l], "w2": w2[0], "b2": b2[l]}
 
 
-def _kernel(x_ref, *refs, num_heads, n_layer):
+def _kernel(x_ref, *refs, num_heads, n_layer, ablate=None):
     *wrefs, out_ref, act = refs
     l = pl.program_id(1)
 
@@ -151,7 +168,7 @@ def _kernel(x_ref, *refs, num_heads, n_layer):
 
     tb, n, d = act.shape
     a = transformer_layer(act[:].reshape(tb * n, d), _layer_ws(l, *wrefs),
-                          num_heads=num_heads)
+                          num_heads=num_heads, ablate=ablate)
     act[:] = a.reshape(tb, n, d)
 
     @pl.when(l == n_layer - 1)
@@ -159,7 +176,7 @@ def _kernel(x_ref, *refs, num_heads, n_layer):
         out_ref[:] = act[:]
 
 
-def _kernel_lmajor(x_ref, *refs, num_heads, n_layer, tb):
+def _kernel_lmajor(x_ref, *refs, num_heads, n_layer, tb, ablate=None):
     """Layer-major variant: grid = (L, batch_tiles), full-batch activation
     scratch.  The weight blocks' index depends only on ``l``, so Pallas
     fetches each layer's matrices ONCE per call instead of once per batch
@@ -176,7 +193,8 @@ def _kernel_lmajor(x_ref, *refs, num_heads, n_layer, tb):
 
     _, n, d = act.shape
     a = transformer_layer(act[pl.ds(i * tb, tb)].reshape(tb * n, d),
-                          _layer_ws(l, *wrefs), num_heads=num_heads)
+                          _layer_ws(l, *wrefs), num_heads=num_heads,
+                          ablate=ablate)
     act[pl.ds(i * tb, tb)] = a.reshape(tb, n, d)
 
     @pl.when(l == n_layer - 1)
@@ -195,19 +213,26 @@ def _tile_b(b: int, d: int) -> int:
     return max(want, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret",
+                                              "ablate", "tile_b"))
 def fused_token_transformer(x: jnp.ndarray, stacked: dict,
                             num_heads: int = 8,
-                            interpret: bool = False) -> jnp.ndarray:
+                            interpret: bool = False,
+                            ablate: str | None = None,
+                            tile_b: int | None = None) -> jnp.ndarray:
     """x: (B, N, d) bf16 tokens (pos-emb already added).  ``stacked``: dict
     of per-layer-stacked weight arrays:
       ln1_scale/ln1_bias (L,d), wq/wk/wv (L,d,d), bq/bk/bv (L,d),
       wo (L,d,d), bo (L,d), ln2_scale/ln2_bias (L,d), w1 (L,d,4d),
       b1 (L,4d), w2 (L,4d,d), b2 (L,d).
-    Returns (B, N, d) bf16 (final ln_f NOT applied — caller's job)."""
+    Returns (B, N, d) bf16 (final ln_f NOT applied — caller's job).
+
+    ``ablate``/``tile_b`` are probe-only knobs (time attribution / tile
+    sweeps, tools/_probe_abl.py) — never set in the model paths."""
     b, n, d = x.shape
     L = stacked["wq"].shape[0]
-    tb = _tile_b(b, d)
+    tb = tile_b if tile_b is not None else _tile_b(b, d)
+    assert b % tb == 0, (b, tb)
     # layer-major grid (weights stream once per layer, not once per batch
     # tile) whenever the lanes are full AND everything fits the VMEM
     # budget.  d < 256 keeps the batch-major grid: its weights are tiny,
@@ -252,14 +277,15 @@ def fused_token_transformer(x: jnp.ndarray, stacked: dict,
 
     if lmajor:
         kernel = functools.partial(_kernel_lmajor, num_heads=num_heads,
-                                   n_layer=L, tb=tb)
+                                   n_layer=L, tb=tb, ablate=ablate)
         grid = (L, b // tb)
         scratch = pltpu.VMEM((b, n, d), jnp.bfloat16)  # full batch resident
         # the cap must cover everything the <90MB gate above admits (the
         # full-batch act scratch grows with b regardless of d)
         vmem = 100 * 1024 * 1024
     else:
-        kernel = functools.partial(_kernel, num_heads=num_heads, n_layer=L)
+        kernel = functools.partial(_kernel, num_heads=num_heads, n_layer=L,
+                                   ablate=ablate)
         grid = (b // tb, L)
         scratch = pltpu.VMEM((tb, n, d), jnp.bfloat16)
         vmem = 64 * 1024 * 1024

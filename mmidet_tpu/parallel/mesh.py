@@ -37,23 +37,26 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def _leaf_spec(path: tuple[str, ...], leaf, n_model: int) -> P:
+def _leaf_spec(path: tuple[str, ...], leaf, n_model: int,
+               tp_min_out: int) -> P:
     name = path[-1]
     shape = leaf.shape
     if n_model > 1 and name == "kernel" and len(shape) >= 2:
         out = shape[-1]
-        if out >= 256 and out % n_model == 0:
+        if out >= tp_min_out and out % n_model == 0:
             return P(*([None] * (len(shape) - 1) + ["model"]))
     return P()
 
 
-def param_shardings(params, mesh: Mesh):
+def param_shardings(params, mesh: Mesh, tp_min_out: int = 256):
     """NamedSharding pytree for the params: output-channel TP on wide
-    kernels, everything else replicated."""
+    kernels (out channels >= ``tp_min_out``), everything else replicated.
+    Smoke tests on narrow specs lower ``tp_min_out`` so the 'model' axis
+    still carries real shards."""
     import flax
     n_model = mesh.shape["model"]
     flat = flax.traverse_util.flatten_dict(params)
-    specs = {k: NamedSharding(mesh, _leaf_spec(k, v, n_model))
+    specs = {k: NamedSharding(mesh, _leaf_spec(k, v, n_model, tp_min_out))
              for k, v in flat.items()}
     return flax.traverse_util.unflatten_dict(specs)
 

@@ -167,3 +167,32 @@ def test_rect_loader_and_eval(tmp_path):
     v = model.init({"params": jax.random.PRNGKey(0)}, small, small)
     res = evaluate(model, v, RectLoader(ds, 2, 64, stride=32), nc=1)
     assert 0.0 <= res.map50 <= 1.0
+
+
+def test_infer_cache_is_bounded():
+    """_INFER_CACHE must not grow without bound (it pins compiled
+    executables + model refs across long-lived processes)."""
+    from mmidet_tpu.eval import evaluator as ev
+
+    class _Dummy:  # unhashable stand-in -> falls back to id() keys
+        __hash__ = None
+
+    saved = dict(ev._INFER_CACHE)
+    ev._INFER_CACHE.clear()
+    try:
+        models = [_Dummy() for _ in range(ev._INFER_CACHE_MAX + 5)]
+        for m in models:
+            ev._get_infer(m, 0.25, 0.45, 300, True)
+        assert len(ev._INFER_CACHE) == ev._INFER_CACHE_MAX
+        # most-recent keys survive; the oldest were evicted
+        kept_ids = {k[0] for k in ev._INFER_CACHE}
+        assert id(models[-1]) in kept_ids
+        assert id(models[0]) not in kept_ids
+        # re-use moves a key to the back (true LRU, not FIFO)
+        ev._get_infer(models[-ev._INFER_CACHE_MAX], 0.25, 0.45, 300, True)
+        ev._get_infer(_Dummy(), 0.25, 0.45, 300, True)
+        kept_ids = {k[0] for k in ev._INFER_CACHE}
+        assert id(models[-ev._INFER_CACHE_MAX]) in kept_ids
+    finally:
+        ev._INFER_CACHE.clear()
+        ev._INFER_CACHE.update(saved)
