@@ -52,12 +52,18 @@ def discover_images(path: str) -> list[str]:
 
 
 def img2label_path(img_path: str) -> str:
-    """images/ -> labels/, suffix -> .txt (ref img2label_paths)."""
-    sa = os.sep + "images" + os.sep
+    """modality-images dir -> labels/, suffix -> .txt (ref img2label_paths,
+    datasets.py:708-735).  Real multispectral datasets (M3FD etc.) keep the
+    modalities in sibling ``RGBimages/``/``IRimages/`` dirs that BOTH map to
+    one shared ``labels/`` dir; plain ``images/`` covers the generic case."""
     sb = os.sep + "labels" + os.sep
-    base = img_path.rsplit(sa, 1)
-    p = sb.join(base) if len(base) == 2 else img_path
-    return os.path.splitext(p)[0] + ".txt"
+    for tok in ("RGBimages", "IRimages", "FOGimages", "U2Fuseimages",
+                "DenseFuseimages", "PIAFusionimages", "images"):
+        sa = os.sep + tok + os.sep
+        if sa in img_path:
+            p = sb.join(img_path.rsplit(sa, 1))
+            return os.path.splitext(p)[0] + ".txt"
+    return os.path.splitext(img_path)[0] + ".txt"
 
 
 def load_labels(label_path: str, nc: int | None = None) -> np.ndarray:

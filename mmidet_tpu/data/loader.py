@@ -18,15 +18,44 @@ import numpy as np
 from mmidet_tpu.data.datasets import PairedDataset, letterbox_np
 
 
+def _load_image_scale(img: np.ndarray, img_size: int,
+                      augment: bool) -> np.ndarray:
+    """Stage-1 content resize: longest side -> ``img_size`` (up AND down;
+    ref load_image / load_image_rgb_ir, datasets.py:1648-1654: INTER_AREA
+    when shrinking at val time, INTER_LINEAR otherwise).  The reference
+    ALWAYS applies this before letterboxing, so eval content is at
+    img_size scale even when the rect batch canvas is larger."""
+    h0, w0 = img.shape[:2]
+    r = img_size / max(h0, w0)
+    if r == 1:
+        return img
+    new_wh = (int(w0 * r), int(h0 * r))
+    try:
+        import cv2
+        interp = cv2.INTER_AREA if (r < 1 and not augment) \
+            else cv2.INTER_LINEAR
+        return cv2.resize(img, new_wh, interpolation=interp)
+    except ImportError:
+        from PIL import Image
+        return np.asarray(Image.fromarray(img).resize(new_wh,
+                                                      Image.BILINEAR))
+
+
 def collate_paired(samples: list[dict], img_size: int = 640,
                    max_labels: int = 120, shape_hw=None,
                    scaleup: bool = True) -> dict:
-    """Letterbox both modalities identically; scale labels to the padded
-    frame; pad to (B, max_labels, 5) + mask.  ``shape_hw`` overrides the
-    square target with a rectangular (h, w) batch shape (rect mode).
-    ``scaleup=False`` is the reference's VAL-time behavior (letterbox
-    scaleup=self.augment, datasets.py:1484-1487: 'only scale down ...
-    for better test mAP')."""
+    """Two-stage resize exactly as the reference eval/train pipeline
+    (datasets.py:1478-1496): (1) content to ``img_size`` scale
+    (``_load_image_scale``), (2) letterbox pad into the batch canvas —
+    square ``img_size`` or the rect ``shape_hw``.  Labels scaled to the
+    padded frame; padded to (B, max_labels, 5) + mask.  ``scaleup=False``
+    is the reference's VAL-time letterbox behavior (scaleup=self.augment,
+    datasets.py:1484-1487: 'only scale down ... for better test mAP').
+
+    ``shapes`` carries the reference's COCO-rescaling convention
+    ((h0, w0), ((h1/h0, w1/w0)[0] as gain, pad)) — the stage-1 ratio, with
+    any further letterbox ratio folded in (the rect shapes always cover
+    the stage-1 extents, so that extra ratio is 1 in practice)."""
     bsz = len(samples)
     th, tw = shape_hw if shape_hw is not None else (img_size, img_size)
     rgb = np.empty((bsz, th, tw, 3), np.uint8)
@@ -35,19 +64,22 @@ def collate_paired(samples: list[dict], img_size: int = 640,
     mask = np.zeros((bsz, max_labels), bool)
     shapes = []
     for i, s in enumerate(samples):
-        out_r, r, (dw, dh) = letterbox_np(s["rgb"], (th, tw),
-                                          scaleup=scaleup)
-        out_i, _, _ = letterbox_np(s["ir"], (th, tw), scaleup=scaleup)
+        h0, w0 = s["shape"]
+        im_r = _load_image_scale(s["rgb"], img_size, augment=scaleup)
+        im_i = _load_image_scale(s["ir"], img_size, augment=scaleup)
+        h1 = im_r.shape[0]
+        out_r, r2, (dw, dh) = letterbox_np(im_r, (th, tw), scaleup=scaleup)
+        out_i, _, _ = letterbox_np(im_i, (th, tw), scaleup=scaleup)
         rgb[i], ir[i] = out_r, out_i
         lab = s["labels"]
-        h0, w0 = s["shape"]
         n = min(len(lab), max_labels)
         if n:
             l = lab[:n].copy()
             # normalized in original frame -> normalized in padded frame;
-            # nw/nh are the ROUNDED resized extents (what letterbox actually
-            # produced, = s - 2*pad) so labels match the pixels exactly and
-            # the PIL and native collates agree bit-for-bit
+            # nw/nh are the ROUNDED final content extents (what letterbox
+            # actually produced, = canvas - 2*pad) so labels match the
+            # pixels exactly and the PIL and native collates agree
+            # bit-for-bit
             nw, nh = tw - 2.0 * dw, th - 2.0 * dh
             l[:, 1] = (l[:, 1] * nw + dw) / tw
             l[:, 2] = (l[:, 2] * nh + dh) / th
@@ -55,7 +87,7 @@ def collate_paired(samples: list[dict], img_size: int = 640,
             l[:, 4] = l[:, 4] * nh / th
             targets[i, :n] = l
             mask[i, :n] = True
-        shapes.append((s["shape"], (r, (dw, dh))))
+        shapes.append((s["shape"], (h1 * r2 / h0, (dw, dh))))
     return {"rgb": rgb, "ir": ir, "targets": targets, "mask": mask,
             "shapes": shapes,
             "files": [s.get("rgb_file", "") for s in samples]}
