@@ -212,6 +212,53 @@ def test_remat_train_step_matches():
                                rtol=1e-5)
 
 
+def test_dp8_train_step_matches_single_device():
+    """One train step on the same global batch must produce the SAME loss
+    and the SAME updated parameters whether the batch is dp-sharded over 8
+    devices or lives on one — data parallelism is a layout choice, not a
+    semantics choice (the reference relies on DDP's mean-gradient matching
+    single-process training, train.py:1019-1028; here XLA's psum under pjit
+    plays that role)."""
+    mesh = make_mesh(n_data=8, n_model=1)
+    model, batch = _setup(batch=8)
+    sched = ScheduleConfig(epochs=2, steps_per_epoch=2)
+    v = model.init({"params": jax.random.PRNGKey(0)}, batch["rgb"],
+                   batch["ir"], train=False)
+    tx, _ = build_optimizer(v["params"], sched, weight_decay=5e-4,
+                            total_batch_size=8)
+    anchors = _anchors(model.spec)
+    s0 = init_state(model, tx, jax.random.PRNGKey(0), batch["rgb"],
+                    batch["ir"])
+    step = jax.jit(make_train_step(model, tx, anchors, LossHyp()))
+    rng = jax.random.PRNGKey(1)
+
+    s_ref, m_ref = step(s0, batch, rng)  # single-device
+
+    bsh = batch_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+    s_sh = s0.__class__(
+        params=jax.device_put(s0.params, rep),
+        batch_stats=jax.device_put(s0.batch_stats, rep),
+        opt_state=s0.opt_state, ema=s0.ema, step=s0.step)
+    batch_sh = {k: jax.device_put(val, bsh) for k, val in batch.items()}
+    with mesh:
+        s_dp, m_dp = step(s_sh, batch_sh, rng)
+        jax.block_until_ready(m_dp["total"])
+        # per-device batch math: each of the 8 shards holds exactly 1 image
+        shard_rows = {sh.data.shape[0]
+                      for sh in batch_sh["rgb"].addressable_shards}
+        assert shard_rows == {1}
+
+    for key in ("total", "box", "obj", "cls"):
+        np.testing.assert_allclose(float(m_ref[key]), float(m_dp[key]),
+                                   rtol=2e-5, atol=1e-6)
+    flat_ref = jax.tree_util.tree_leaves(s_ref.params)
+    flat_dp = jax.tree_util.tree_leaves(s_dp.params)
+    for a, b in zip(flat_ref, flat_dp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_shard_inference_matches_single_device():
     """dp-sharded forward must produce the same predictions as unsharded."""
     from mmidet_tpu.parallel.mesh import make_mesh, shard_inference
