@@ -26,7 +26,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--adam", action="store_true")
     p.add_argument("--linear-lr", action="store_true")
     p.add_argument("--resume", type=str, default="",
-                   help="workdir to resume from")
+                   help="workdir to resume from, or a "
+                        "wandb-artifact://<project>/<run_id> reference")
+    p.add_argument("--upload-dataset", action="store_true",
+                   help="version the dataset as an artifact and train from "
+                        "the artifact paths (ref --upload_dataset)")
+    p.add_argument("--log-artifacts", action="store_true",
+                   help="version checkpoints as model artifacts with "
+                        "latest/epoch-N/best aliases")
+    p.add_argument("--artifact-alias", type=str, default="latest",
+                   help="dataset artifact alias to pull (ref "
+                        "--artifact_alias)")
     p.add_argument("--no-mosaic", action="store_true")
     p.add_argument("--no-cem", action="store_true")
     p.add_argument("--aux-mode", type=str, default="reference",
@@ -84,7 +94,10 @@ def main(argv=None):
         single_cls=args.single_cls, multi_scale=args.multi_scale,
         rect=args.rect, notest=args.notest, nosave=args.nosave,
         save_period=args.save_period, exist_ok=args.exist_ok,
-        workers=args.workers, freeze=tuple(args.freeze))
+        workers=args.workers, freeze=tuple(args.freeze),
+        upload_dataset=args.upload_dataset,
+        log_artifacts=args.log_artifacts,
+        artifact_alias=args.artifact_alias)
     if args.evolve:
         from mmidet_tpu.train.evolve import evolve
         from mmidet_tpu.train.trainer import load_hyp

@@ -86,6 +86,12 @@ class TrainConfig:
     exist_ok: bool = False       # reuse workdir without incrementing
     workers: int = 2             # loader prefetch depth (ref --workers)
     freeze: tuple = ()           # param-path substrings to freeze
+    upload_dataset: bool = False  # version the dataset as an artifact
+    #                               (ref --upload_dataset, wandb_utils.py)
+    log_artifacts: bool = False  # version checkpoints as model artifacts
+    artifact_alias: str = "latest"  # dataset artifact alias to pull
+    #                                 (ref --artifact_alias)
+    artifact_project: str = "mmidet_tpu"
 
 
 DEFAULT_HYP = {
@@ -180,8 +186,28 @@ def train(cfg: TrainConfig) -> dict:
     # dir (contains ckpt/) continues in place; a bare checkpoint dir seeds
     # a fresh workdir; any other truthy value ("latest"/True) reuses
     # cfg.workdir as-is and continues from its own ckpt dir.
+    from mmidet_tpu.utils.artifacts import (default_backend,
+                                            is_artifact_path,
+                                            resume_from_artifact)
+    art_backend = None
+    if cfg.upload_dataset or cfg.log_artifacts or \
+            is_artifact_path(cfg.resume):
+        art_backend = default_backend(project=cfg.artifact_project)
     resume_src = None
     r = cfg.resume if isinstance(cfg.resume, str) else ""
+    if is_artifact_path(r):
+        # wandb-artifact://<project>/<run_id> resume (ref
+        # check_wandb_resume + download_model_artifact,
+        # wandb_utils.py:42-53,168-177): pull the checkpoint artifact and
+        # continue in a fresh workdir with the stored run config's epochs
+        r, art_meta = resume_from_artifact(r, art_backend)
+        stored = art_meta.get("opt") or {}
+        if stored.get("epochs"):
+            cfg = dataclasses.replace(cfg, epochs=int(stored["epochs"]))
+        if stored.get("hyp"):
+            cfg = dataclasses.replace(cfg, hyp=stored["hyp"])
+            hyp = load_hyp(cfg.hyp)
+        cfg = dataclasses.replace(cfg, resume=r)
     if cfg.resume and os.path.isdir(os.path.join(r, "ckpt")):
         workdir = r
         resume_src = os.path.join(r, "ckpt")
@@ -199,6 +225,20 @@ def train(cfg: TrainConfig) -> dict:
         yaml.safe_dump(dataclasses.asdict(cfg), fh)
 
     data = load_data_yaml(cfg.data)
+    if cfg.upload_dataset:
+        # version the dataset + rewrite paths to artifact references (ref
+        # check_and_upload_dataset, wandb_utils.py:116-124); the rewritten
+        # yaml lands in the run dir as *_wandb.yaml does in the reference
+        from mmidet_tpu.utils.artifacts import log_dataset_artifact
+        data = log_dataset_artifact(
+            data, art_backend, project=cfg.artifact_project,
+            out_yaml=os.path.join(workdir, "data_wandb.yaml"))
+    if any(is_artifact_path(data.get(k)) for k in
+           ("train_rgb", "train_ir", "val_rgb", "val_ir")):
+        from mmidet_tpu.utils.artifacts import resolve_data_artifacts
+        data = resolve_data_artifacts(
+            data, art_backend or default_backend(cfg.artifact_project),
+            alias=cfg.artifact_alias)
     nc = 1 if cfg.single_cls else int(data["nc"])
     names = ["item"] if cfg.single_cls else \
         data.get("names", [str(i) for i in range(nc)])
@@ -406,6 +446,23 @@ def train(cfg: TrainConfig) -> dict:
             nb += 1
         mloss /= max(nb, 1)
 
+        def _log_model_art(ep: int, fit_val: float, best: bool) -> None:
+            # checkpoint -> model artifact with metadata + aliases (ref
+            # log_model, wandb_utils.py:181-191), run_id = run dir name
+            if not (cfg.log_artifacts and art_backend is not None):
+                return
+            from mmidet_tpu.utils.artifacts import log_model_artifact
+            try:
+                log_model_artifact(
+                    art_backend, os.path.basename(workdir), ckpt_dir, ep,
+                    cfg.epochs, fit_val, best=best,
+                    project=cfg.artifact_project,
+                    opt={"epochs": cfg.epochs, "model": cfg.model,
+                         "hyp": hyp, "batch_size": cfg.batch_size,
+                         "img_size": cfg.img_size})
+            except Exception:
+                logger.exception("model artifact logging failed")
+
         res = None
         saved_this_epoch = False
         final = epoch == cfg.epochs - 1
@@ -426,6 +483,7 @@ def train(cfg: TrainConfig) -> dict:
                                           "best_fitness": best_fit,
                                           "fitness": fit})
                 saved_this_epoch = True
+                _log_model_art(epoch, fit, is_best)
             if is_best and not cfg.nosave:
                 # the reference keeps best.pt whenever fi == best_fitness
                 # (train.py:893-894); the rolling keep=3 last-checkpoints
@@ -462,6 +520,7 @@ def train(cfg: TrainConfig) -> dict:
             save_checkpoint(ckpt_dir, state, epoch,
                             metadata={"epoch": epoch,
                                       "best_fitness": best_fit})
+            _log_model_art(epoch, best_fit, False)
         if cfg.image_weights and not final:
             # EVERY epoch, as the reference (train.py:715-727):
             # cw = class_weights*(1-maps)^2 with the latest eval's maps;
