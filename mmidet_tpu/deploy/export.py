@@ -47,6 +47,70 @@ def load_stablehlo(blob: bytes):
     return exported.call
 
 
+def export_savedmodel(path: str, model, variables, img_size: int = 640,
+                      batch_size: int = 1, two_stream: bool = True,
+                      with_decode: bool = True, dtype=jnp.float32,
+                      native: bool = True) -> str:
+    """Cross-runtime export: TF SavedModel via ``jax2tf`` (the portable
+    path the reference serves with ONNX/TorchScript/CoreML,
+    models/export.py:66-124).  The SavedModel embeds the StableHLO of the
+    jitted forward (native serialization) and runs under plain TensorFlow —
+    CPU/GPU servers, TF-Serving, or a further TFLite conversion — with no
+    JAX at inference time."""
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    def fwd(rgb, ir):
+        out = model.apply(variables, rgb, ir, train=False,
+                          decode=with_decode) if two_stream else \
+            model.apply(variables, rgb, train=False, decode=with_decode)
+        return out["pred"] if with_decode else tuple(out["train_outs"])
+
+    shape = (batch_size, img_size, img_size, 3)
+    tf_dtype = tf.float32 if dtype == jnp.float32 else tf.bfloat16
+    sig = [tf.TensorSpec(shape, tf_dtype, name="rgb")]
+    # native=True embeds StableHLO (exact, needs a TF/TFLite runtime with
+    # StableHLO kernels); native=False lowers to plain TF graph ops (the
+    # TFLite-builtins-compatible path)
+    kw = dict(with_gradient=False, native_serialization=native)
+    if two_stream:
+        sig.append(tf.TensorSpec(shape, tf_dtype, name="ir"))
+        tf_fwd = jax2tf.convert(fwd, **kw)
+    else:
+        tf_fwd = jax2tf.convert(lambda rgb: fwd(rgb, None), **kw)
+    module = tf.Module()
+    module.serve = tf.function(tf_fwd, input_signature=sig)
+    tf.saved_model.save(
+        module, path,
+        options=tf.saved_model.SaveOptions(experimental_custom_gradients=False))
+    return path
+
+
+def export_tflite(savedmodel_path: str, out_path: str,
+                  native: bool = False) -> str:
+    """SavedModel -> .tflite flatbuffer (edge deployment — the role the
+    reference's CoreML export plays, models/export.py:99-114).
+
+    Pass a SavedModel exported with the matching ``native`` flag:
+    ``native=False`` (default) converts plain graph ops to TFLite
+    builtins (+SELECT_TF_OPS) — runnable by any current TFLite runtime;
+    ``native=True`` keeps StableHLO ops (exact, smaller, but requires a
+    TFLite runtime with StableHLO kernel support)."""
+    import tensorflow as tf
+    conv = tf.lite.TFLiteConverter.from_saved_model(savedmodel_path)
+    hlo_ops = getattr(tf.lite.OpsSet, "EXPERIMENTAL_STABLEHLO_OPS", None)
+    if native and hlo_ops is not None:
+        # StableHLO ops must be the ONLY ops set when used
+        conv.target_spec.supported_ops = [hlo_ops]
+    else:
+        conv.target_spec.supported_ops = [tf.lite.OpsSet.TFLITE_BUILTINS,
+                                          tf.lite.OpsSet.SELECT_TF_OPS]
+    blob = conv.convert()
+    with open(out_path, "wb") as fh:
+        fh.write(blob)
+    return out_path
+
+
 def export_deploy_bundle(path: str, model, variables, spec,
                          names: list[str] | None = None,
                          img_size: int = 640) -> str:
@@ -124,6 +188,12 @@ def main(argv=None):
     p.add_argument("--names", type=str, nargs="*", default=None)
     p.add_argument("--img-size", type=int, default=640)
     p.add_argument("--out", type=str, default="runs/export/bundle")
+    p.add_argument("--savedmodel", action="store_true",
+                   help="also export a TF SavedModel via jax2tf "
+                        "(cross-runtime; no JAX at inference)")
+    p.add_argument("--tflite", action="store_true",
+                   help="also convert the SavedModel to .tflite")
+    p.add_argument("--batch-size", type=int, default=1)
     args = p.parse_args(argv)
     set_logging()
 
@@ -136,6 +206,23 @@ def main(argv=None):
     hlo_msg = ("yes" if have_hlo else
                "unavailable on this backend — see stablehlo_export_error.txt")
     print(f"exported deploy bundle -> {path} (StableHLO: {hlo_msg})")
+    if args.savedmodel or args.tflite:
+        from mmidet_tpu.models.spec import is_two_stream
+        two = is_two_stream(spec)
+        sm = os.path.join(path, "savedmodel")
+        export_savedmodel(sm, model, variables, img_size=args.img_size,
+                          batch_size=args.batch_size, two_stream=two)
+        print(f"exported TF SavedModel -> {sm}")
+        if args.tflite:
+            # TFLite builtins need the graph-ops (non-native) lowering
+            sm_graph = os.path.join(path, "savedmodel_graph")
+            export_savedmodel(sm_graph, model, variables,
+                              img_size=args.img_size,
+                              batch_size=args.batch_size, two_stream=two,
+                              native=False)
+            tfl = export_tflite(sm_graph,
+                                os.path.join(path, "model.tflite"))
+            print(f"exported TFLite -> {tfl}")
     return path
 
 
