@@ -10,12 +10,15 @@ modality — a reference quirk we keep, datasets.py:1512-1515), flips
 
 This is the north-star requirement (BASELINE.md): augmentation runs as jitted
 XLA ops on device, not in cv2 worker processes.  Deviations (documented):
-  * mosaic tiles are square letterboxed images (fixed shapes) rather than
-    aspect-shaped resizes — equivalent after the affine crop except for gray
-    bands when tile aspect differs from 1;
   * HSV runs in float RGB<->HSV space rather than uint8 LUTs (same
     distribution, no 1/255 quantisation);
   * warps use bilinear ``map_coordinates`` (cv2 default is also bilinear).
+
+Mosaic tiles arrive square-letterboxed (fixed shapes), but the geometry is
+reference-EXACT: ``pads4`` carries each tile's letterbox content placement
+and ``_mosaic_geometry`` anchors the content corner at the mosaic center,
+reproducing the reference's aspect-shaped placement pixel-for-pixel
+(oracle test in tests/test_augment.py).
 
 Geometry parity (exact): the affine matrix composition — center translate ->
 perspective -> rotation+scale -> shear -> random translate — and the label
@@ -186,7 +189,8 @@ def transform_labels(labels_xyxy: jnp.ndarray, mask: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def mosaic4(tiles: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray,
-            key: jax.Array, s: int, fill: float = 114.0 / 255.0):
+            key: jax.Array, s: int, fill: float = 114.0 / 255.0,
+            pads=None):
     """4 (s,s,C) tiles -> (2s,2s,C) mosaic canvas + shifted xyxy labels.
 
     Reference load_mosaic_RGB_IR (datasets.py:1764-1913): center
@@ -198,7 +202,7 @@ def mosaic4(tiles: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray,
     labels: (4, T, 5) [cls, x, y, w, h] normalized per tile.
     Returns canvas (2s,2s,C), labels_xyxy (4*T, 4), cls (4*T,), mask (4*T,).
     """
-    xc, yc, offs = _mosaic_geometry(key, s)
+    xc, yc, offs = _mosaic_geometry(key, s, pads)
     ys, xs = jnp.meshgrid(jnp.arange(2 * s, dtype=jnp.float32),
                           jnp.arange(2 * s, dtype=jnp.float32),
                           indexing="ij")
@@ -222,13 +226,30 @@ def mosaic4(tiles: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray,
     return canvas, boxes, cls, msk
 
 
-def _mosaic_geometry(key: jax.Array, s: int):
+def _mosaic_geometry(key: jax.Array, s: int, pads=None):
     """Mosaic center + per-tile top-left offsets (ty, tx). Ref:
-    datasets.py:1777-1778 (xc, yc ~ U(s/2, 3s/2), rounded)."""
+    datasets.py:1777-1778 (xc, yc ~ U(s/2, 3s/2), rounded).
+
+    ``pads``: (4, 4) [top, left, nh, nw] — where each tile's CONTENT sits
+    inside its letterboxed square (letterbox_np placement).  The reference
+    places aspect-shaped images with the content corner touching the
+    mosaic center (datasets.py:1780-1795: x1a = xc - w etc.); shifting
+    each tile by its letterbox pad reproduces that exactly — the gray
+    letterbox bands land where the reference canvas shows its own 114
+    fill, so the composed canvas is pixel-identical.  ``pads=None``
+    (top=left=0, nh=nw=s) anchors the full tile instead."""
     c = jnp.round(jax.random.uniform(key, (2,), minval=0.5 * s,
                                      maxval=1.5 * s))
     xc, yc = c[0], c[1]
-    offs = [(yc - s, xc - s), (yc - s, xc), (yc, xc - s), (yc, xc)]
+    if pads is None:
+        offs = [(yc - s, xc - s), (yc - s, xc), (yc, xc - s), (yc, xc)]
+        return xc, yc, offs
+    top, left = pads[:, 0], pads[:, 1]
+    nh, nw = pads[:, 2], pads[:, 3]
+    offs = [(yc - (top[0] + nh[0]), xc - (left[0] + nw[0])),  # tl
+            (yc - (top[1] + nh[1]), xc - left[1]),            # tr
+            (yc - top[2], xc - (left[2] + nw[2])),            # bl
+            (yc - top[3], xc - left[3])]                      # br
     return xc, yc, offs
 
 
@@ -303,26 +324,31 @@ def mosaic_warp_fast(tiles: jnp.ndarray, offs, center, M: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def augment_pair_mosaic(rgb4, ir4, labels4, mask4, key, s: int,
-                        hyp: AugmentHyp, max_labels: int):
+                        hyp: AugmentHyp, max_labels: int, pads4=None):
     """Paired mosaic + shared perspective + per-modality HSV + shared flip.
 
     rgb4/ir4: (4, s, s, 3) float 0..1; labels4: (4, T, 5) normalized;
-    mask4: (4, T).  Returns (rgb, ir, labels (max_labels,5) normalized xywh,
-    mask)."""
+    mask4: (4, T); pads4: (4, 4) [top, left, nh, nw] letterbox content
+    placement (anchors content corners at the mosaic center, making the
+    composed canvas pixel-identical to the reference's aspect-shaped
+    placement — see _mosaic_geometry).  Returns (rgb, ir, labels
+    (max_labels,5) normalized xywh, mask)."""
     k_mosaic, k_warp, k_hsv_r, k_hsv_i, k_flip = jax.random.split(key, 5)
     border = s // 2
     M, s_scale = _perspective_matrix(k_warp, hyp, 2 * s, 2 * s, border)
     if hyp.degrees == 0 and hyp.shear == 0 and hyp.perspective == 0:
         # axis-aligned fast path (the default hyp): fused mosaic+warp via
         # scale_and_translate — no image-space gathers (see mosaic_warp_fast)
-        xc, yc, offs = _mosaic_geometry(k_mosaic, s)
+        xc, yc, offs = _mosaic_geometry(k_mosaic, s, pads4)
         boxes, cls, m = _mosaic_labels(labels4, mask4, offs, s)
         rgb_w = mosaic_warp_fast(rgb4, offs, (xc, yc), M, s)
         ir_w = mosaic_warp_fast(ir4, offs, (xc, yc), M, s)
     else:
         # identical geometry for both modalities: same mosaic key + same M
-        rgb_c, boxes, cls, m = mosaic4(rgb4, labels4, mask4, k_mosaic, s)
-        ir_c, _, _, _ = mosaic4(ir4, labels4, mask4, k_mosaic, s)
+        rgb_c, boxes, cls, m = mosaic4(rgb4, labels4, mask4, k_mosaic, s,
+                                       pads=pads4)
+        ir_c, _, _, _ = mosaic4(ir4, labels4, mask4, k_mosaic, s,
+                                pads=pads4)
         rgb_w = warp_image(rgb_c, M, (s, s))
         ir_w = warp_image(ir_c, M, (s, s))
     boxes, m = transform_labels(boxes, m, M, (s, s),
@@ -383,12 +409,18 @@ def make_batch_augment(s: int, hyp: AugmentHyp, max_labels: int,
     dict(rgb4/ir4/labels4/mask4) [mosaic] or dict(rgb/ir/targets/mask)."""
     if mosaic:
         def fn(batch, key):
-            keys = jax.random.split(key, batch["rgb4"].shape[0])
+            b = batch["rgb4"].shape[0]
+            keys = jax.random.split(key, b)
+            pads4 = batch.get("pads4")
+            if pads4 is None:  # full-tile anchoring (top=left=0, nh=nw=s)
+                pads4 = jnp.tile(
+                    jnp.asarray([0.0, 0.0, float(s), float(s)],
+                                jnp.float32), (b, 4, 1))
             rgb, ir, lab, m = jax.vmap(
-                lambda r4, i4, l4, m4, k: augment_pair_mosaic(
-                    r4, i4, l4, m4, k, s, hyp, max_labels)
+                lambda r4, i4, l4, m4, p4, k: augment_pair_mosaic(
+                    r4, i4, l4, m4, k, s, hyp, max_labels, pads4=p4)
             )(batch["rgb4"], batch["ir4"], batch["labels4"],
-              batch["mask4"], keys)
+              batch["mask4"], pads4, keys)
             return {"rgb": rgb, "ir": ir, "targets": lab, "mask": m}
     else:
         def fn(batch, key):

@@ -105,11 +105,17 @@ def collate_mosaic_pool(samples4: list[list[dict]], img_size: int,
     ir4 = np.empty((bsz, 4, s, s, 3), np.uint8)
     labels4 = np.zeros((bsz, 4, max_labels_tile, 5), np.float32)
     mask4 = np.zeros((bsz, 4, max_labels_tile), bool)
+    # [top, left, nh, nw] content placement inside each letterboxed tile —
+    # lets the device mosaic anchor CONTENT corners at the center, exactly
+    # as the reference's aspect-shaped placement (datasets.py:1780-1795)
+    pads4 = np.zeros((bsz, 4, 4), np.float32)
     for b, group in enumerate(samples4):
         for t, smp in enumerate(group):
             out_r, r, (dw, dh) = letterbox_np(smp["rgb"], (s, s))
             out_i, _, _ = letterbox_np(smp["ir"], (s, s))
             rgb4[b, t], ir4[b, t] = out_r, out_i
+            pads4[b, t] = (int(round(dh - 0.1)), int(round(dw - 0.1)),
+                           int(round(s - 2 * dh)), int(round(s - 2 * dw)))
             lab = smp["labels"]
             n = min(len(lab), max_labels_tile)
             if n:
@@ -121,7 +127,8 @@ def collate_mosaic_pool(samples4: list[list[dict]], img_size: int,
                 l[:, 4] = l[:, 4] * nh / s
                 labels4[b, t, :n] = l
                 mask4[b, t, :n] = True
-    return {"rgb4": rgb4, "ir4": ir4, "labels4": labels4, "mask4": mask4}
+    return {"rgb4": rgb4, "ir4": ir4, "labels4": labels4, "mask4": mask4,
+            "pads4": pads4}
 
 
 def collate_mosaic_pool_native(ds: PairedDataset, groups_idx,
@@ -142,13 +149,16 @@ def collate_mosaic_pool_native(ds: PairedDataset, groups_idx,
     ir4 = ir.reshape(bsz, 4, s, s, 3)
     labels4 = np.zeros((bsz, 4, max_labels_tile, 5), np.float32)
     mask4 = np.zeros((bsz, 4, max_labels_tile), bool)
+    pads4 = np.zeros((bsz, 4, 4), np.float32)
     for k, j in enumerate(flat):
         b, t = divmod(k, 4)
+        r, dw, dh = meta[k]
+        pads4[b, t] = (int(round(dh - 0.1)), int(round(dw - 0.1)),
+                       int(round(s - 2 * dh)), int(round(s - 2 * dw)))
         lab = ds.labels[j]
         n = min(len(lab), max_labels_tile)
         if not n:
             continue
-        r, dw, dh = meta[k]
         nw, nh = s - 2.0 * dw, s - 2.0 * dh   # = round(w0*r), round(h0*r)
         l = lab[:n].copy()
         l[:, 1] = (l[:, 1] * nw + dw) / s
@@ -157,7 +167,8 @@ def collate_mosaic_pool_native(ds: PairedDataset, groups_idx,
         l[:, 4] = l[:, 4] * nh / s
         labels4[b, t, :n] = l
         mask4[b, t, :n] = True
-    return {"rgb4": rgb4, "ir4": ir4, "labels4": labels4, "mask4": mask4}
+    return {"rgb4": rgb4, "ir4": ir4, "labels4": labels4, "mask4": mask4,
+            "pads4": pads4}
 
 
 class MosaicLoader:

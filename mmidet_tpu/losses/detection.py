@@ -12,10 +12,13 @@ static ``T`` per image.  The candidate tensor is ``(B, T, na, 5)``; gathers
 and scatters use linear indices into the flattened prediction grid, so XLA
 compiles a single static program.
 
-Known deviation (documented): when two candidates land on the same grid cell,
-the reference's in-place write keeps the *last* one's IoU in the objectness
-target; we take the *max* (deterministic under parallel scatter).  This
-affects only duplicate assignments and is, if anything, better-posed.
+Duplicate-cell objectness resolution is reference-EXACT: when two candidates
+land on the same grid cell, the reference's in-place write keeps the *last*
+one's IoU (loss.py:249, in build_targets' offset-block/anchor/target row
+order).  A deterministic two-scatter formulation reproduces it: an int
+scatter-max of the write-order sequence picks each cell's winning candidate,
+then only winners scatter their value (tests/test_loss_torch_parity.py
+pins this on forced duplicates).
 """
 
 from __future__ import annotations
@@ -146,9 +149,20 @@ def build_candidates(targets: jnp.ndarray, mask: jnp.ndarray,
     aidx = jnp.broadcast_to(
         jnp.arange(na, dtype=jnp.int32)[None, None, :, None], valid.shape)
     tcls = jnp.broadcast_to(cls[..., None, None], valid.shape)
+    # reference write ORDER for duplicate-cell resolution: build_targets
+    # emits rows offset-block-major (t.repeat((5,1,1))[j], loss.py:232),
+    # anchor-major within a block, then target order — the in-place tobj
+    # write (loss.py:249) makes the LAST such row win.  seq encodes that
+    # priority (1-based; 0 = empty cell).
+    oidx = jnp.broadcast_to(
+        jnp.arange(5, dtype=jnp.int32)[None, None, None, :], valid.shape)
+    tidx = jnp.broadcast_to(
+        jnp.arange(t, dtype=jnp.int32)[None, :, None, None], valid.shape)
+    seq = (((oidx * na + aidx) * bsz + bidx) * t + tidx) + 1
     return {
         "valid": valid, "b": bidx, "a": aidx, "gi": gi, "gj": gj,
         "txy": txy, "twh": twh, "tcls": tcls.astype(jnp.int32),
+        "seq": seq,
         "anchor": jnp.broadcast_to(anchors_l[None, None, :, None, :],
                                    valid.shape + (2,)),
     }
@@ -210,12 +224,18 @@ def compute_loss(train_outs: Sequence[jnp.ndarray], targets: jnp.ndarray,
         iou = bbox_iou(pbox, tbox, xywh=True, CIoU=True)
         lbox = lbox + jnp.sum((1.0 - iou) * w) / n
 
-        # objectness target: scatter-max of detached clamped iou
+        # objectness target: reference-exact LAST-write-wins on duplicate
+        # cells (loss.py:249 writes tobj[b,a,gj,gi] in candidate order) —
+        # an int scatter-max of the write-order seq picks each cell's
+        # winner, whose (single) value then lands via a float scatter
         tobj_val = (1.0 - hyp.gr) + hyp.gr * jnp.clip(
             jax.lax.stop_gradient(iou), 0.0)
-        tobj_val = jnp.where(valid, tobj_val, -1.0)
+        seq = jnp.where(valid, cand["seq"].reshape(-1), 0)
+        win = jnp.zeros((b_ * na * ny * nx,), jnp.int32).at[lin].max(
+            seq, mode="drop")
+        is_winner = valid & (seq == win[lin])
         tobj = jnp.zeros((b_ * na * ny * nx,), dtype).at[lin].max(
-            tobj_val, mode="drop")
+            jnp.where(is_winner, tobj_val, -1.0), mode="drop")
         tobj = jnp.clip(tobj, 0.0)
 
         obj_bce = bce_with_logits(flat[:, 4], tobj, hyp.obj_pw)

@@ -195,6 +195,17 @@ def train(cfg: TrainConfig) -> dict:
         art_backend = default_backend(project=cfg.artifact_project)
     resume_src = None
     r = cfg.resume if isinstance(cfg.resume, str) else ""
+    if r in ("latest", "true", "True") or cfg.resume is True:
+        # bare --resume: continue the most recent run under the project
+        # dir (ref get_latest_run, train.py:1000-1002)
+        from mmidet_tpu.utils.general import get_latest_run
+        r = get_latest_run(os.path.dirname(cfg.workdir) or ".")
+        if not r:
+            raise FileNotFoundError(
+                f"--resume latest: no previous run with a ckpt/ under "
+                f"{os.path.dirname(cfg.workdir) or '.'}")
+        logger.info("resuming latest run %s", r)
+        cfg = dataclasses.replace(cfg, resume=r)
     if is_artifact_path(r):
         # wandb-artifact://<project>/<run_id> resume (ref
         # check_wandb_resume + download_model_artifact,
@@ -471,8 +482,13 @@ def train(cfg: TrainConfig) -> dict:
         if do_eval:
             ema_vars = {"params": state.ema["params"],
                         "batch_stats": state.ema["batch_stats"]}
+            # per-epoch val-prediction dump -> "progress" evaluation
+            # artifact (ref log_training_progress + end_epoch result
+            # artifact, wandb_utils.py:265-306)
+            pred_json = os.path.join(workdir, "val_predictions.json") \
+                if (cfg.log_artifacts and art_backend is not None) else None
             res = evaluate(eval_model, ema_vars, val_loader_fn(), nc,
-                           names=names)
+                           names=names, save_json=pred_json)
             fit = float(fitness(res.fitness_vector())[0])
             is_best = fit > best_fit
             if is_best:
@@ -484,6 +500,17 @@ def train(cfg: TrainConfig) -> dict:
                                           "fitness": fit})
                 saved_this_epoch = True
                 _log_model_art(epoch, fit, is_best)
+            if pred_json and os.path.isfile(pred_json):
+                try:
+                    art_backend.log_artifact(
+                        f"run_{os.path.basename(workdir)}_progress",
+                        "evaluation", {"val_predictions.json": pred_json},
+                        metadata={"epoch": epoch, "mAP50": res.map50},
+                        aliases=("latest", f"epoch {epoch + 1}",
+                                 "best" if is_best else ""),
+                        project=cfg.artifact_project)
+                except Exception:
+                    logger.exception("progress artifact logging failed")
             if is_best and not cfg.nosave:
                 # the reference keeps best.pt whenever fi == best_fitness
                 # (train.py:893-894); the rolling keep=3 last-checkpoints

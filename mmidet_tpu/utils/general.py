@@ -60,9 +60,15 @@ def increment_path(path: str, exist_ok: bool = False, sep: str = "") -> str:
 
 
 def get_latest_run(search_dir: str = ".") -> str:
-    """Most recent checkpoint dir under runs/ (ref get_latest_run)."""
-    last = glob.glob(f"{search_dir}/**/last*", recursive=True)
-    return max(last, key=os.path.getctime) if last else ""
+    """Most recent run dir under ``search_dir`` (ref get_latest_run,
+    general.py:51-54 — globs runs/**/last.pt; here a run is a workdir
+    containing an orbax ``ckpt/``).  Returns the RUN dir (not ckpt/)."""
+    ckpts = glob.glob(f"{search_dir}/**/ckpt", recursive=True)
+    ckpts = [c for c in ckpts if os.path.isdir(c)]
+    if not ckpts:  # legacy layout fallback
+        last = glob.glob(f"{search_dir}/**/last*", recursive=True)
+        return max(last, key=os.path.getctime) if last else ""
+    return os.path.dirname(max(ckpts, key=os.path.getctime))
 
 
 def labels_to_class_weights(labels: list[np.ndarray], nc: int) -> np.ndarray:

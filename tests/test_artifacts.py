@@ -117,6 +117,10 @@ def test_trainer_artifact_resume_end_to_end(synth, tmp_path, monkeypatch):
     assert meta["epochs_trained"] == 1 and meta["total_epochs"] == 1
     assert os.path.isdir(os.path.join(art, "ckpt"))
     assert meta["opt"]["epochs"] == 1
+    # per-epoch progress artifact (val prediction dump) rode along
+    prog = store.download(f"run_{run_id}_progress:latest")
+    assert os.path.isfile(os.path.join(prog, "val_predictions.json"))
+    assert "mAP50" in store.metadata(f"run_{run_id}_progress:latest")
 
     # emulate an interrupted longer run: same checkpoint, total_epochs=2
     # (a live interruption would leave exactly this artifact state)

@@ -281,3 +281,134 @@ def test_mosaic_warp_fast_matches_gather_path():
     diff = np.abs(np.asarray(img_g) - np.asarray(img_f))[interior[..., None]
                                                          .repeat(3, -1)]
     assert diff.max() < 2e-2, diff.max()
+
+
+def test_mosaic4_reference_exact_content_anchoring():
+    """With letterbox pads supplied, the composed canvas must be
+    pixel-identical to the reference's aspect-shaped placement
+    (load_mosaic_RGB_IR, datasets.py:1780-1795: each image's corner
+    touches the mosaic center; uncovered canvas stays 114) — implemented
+    here independently in numpy as the oracle."""
+    from PIL import Image
+    from mmidet_tpu.data.augment import _mosaic_geometry
+    from mmidet_tpu.data.datasets import letterbox_np
+
+    s = 32
+    fill = 114.0 / 255.0
+    rng = np.random.default_rng(11)
+    # aspect-shaped sources (taller / wider / square / extreme)
+    shapes = [(48, 24), (20, 60), (32, 32), (64, 12)]
+    srcs = [rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+            for h, w in shapes]
+
+    tiles, pads, resized = [], [], []
+    for img in srcs:
+        out, r, (dw, dh) = letterbox_np(img, (s, s))
+        tiles.append(out.astype(np.float32) / 255.0)
+        top, left = int(round(dh - 0.1)), int(round(dw - 0.1))
+        nh, nw = int(round(s - 2 * dh)), int(round(s - 2 * dw))
+        pads.append((top, left, nh, nw))
+        resized.append(np.asarray(Image.fromarray(img).resize(
+            (nw, nh), Image.BILINEAR)).astype(np.float32) / 255.0)
+
+    key = jax.random.PRNGKey(7)
+    canvas, _, _, _ = mosaic4(jnp.stack(tiles), jnp.zeros((4, 1, 5)),
+                              jnp.zeros((4, 1), bool), key, s,
+                              pads=jnp.asarray(pads, jnp.float32))
+
+    # numpy oracle: the reference placement formulas
+    xc, yc, _ = _mosaic_geometry(key, s)
+    xc, yc = int(xc), int(yc)
+    want = np.full((2 * s, 2 * s, 3), fill, np.float32)
+    for i, img in enumerate(resized):
+        h, w = img.shape[:2]
+        if i == 0:
+            x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+            x1b, y1b = w - (x2a - x1a), h - (y2a - y1a)
+        elif i == 1:
+            x1a, y1a = xc, max(yc - h, 0)
+            x2a, y2a = min(xc + w, 2 * s), yc
+            x1b, y1b = 0, h - (y2a - y1a)
+        elif i == 2:
+            x1a, y1a, x2a = max(xc - w, 0), yc, xc
+            y2a = min(2 * s, yc + h)
+            x1b, y1b = w - (x2a - x1a), 0
+        else:
+            x1a, y1a = xc, yc
+            x2a, y2a = min(xc + w, 2 * s), min(2 * s, yc + h)
+            x1b, y1b = 0, 0
+        want[y1a:y2a, x1a:x2a] = img[y1b:y1b + (y2a - y1a),
+                                     x1b:x1b + (x2a - x1a)]
+    np.testing.assert_allclose(np.asarray(canvas), want, atol=1e-6)
+
+
+def test_mosaic_warp_fast_matches_gather_path_with_pads():
+    """Same fast-vs-gather agreement with letterbox-pad content anchoring
+    (the reference-exact mosaic geometry)."""
+    from mmidet_tpu.data import augment as A
+
+    s = 64
+    hyp = A.AugmentHyp()
+    key = jax.random.PRNGKey(9)
+    k_mosaic, k_warp = jax.random.split(key)
+    rng = np.random.default_rng(2)
+    tiles = jnp.asarray(rng.random((4, s, s, 3)), jnp.float32)
+    labels = jnp.asarray(rng.random((4, 7, 5)) * 0.5 + 0.25, jnp.float32)
+    mask = jnp.ones((4, 7), bool)
+    pads = jnp.asarray([[8, 0, 48, 64], [0, 12, 64, 40],
+                        [0, 0, 64, 64], [16, 4, 32, 56]], jnp.float32)
+
+    M, _ = A._perspective_matrix(k_warp, hyp, 2 * s, 2 * s, s // 2)
+    canvas, boxes_g, _, _ = A.mosaic4(tiles, labels, mask, k_mosaic, s,
+                                      pads=pads)
+    img_g = A.warp_image(canvas, M, (s, s))
+    xc, yc, offs = A._mosaic_geometry(k_mosaic, s, pads)
+    boxes_f, _, _ = A._mosaic_labels(labels, mask, offs, s)
+    img_f = A.mosaic_warp_fast(tiles, offs, (xc, yc), M, s)
+
+    np.testing.assert_allclose(np.asarray(boxes_g), np.asarray(boxes_f),
+                               atol=1e-4)
+    a = float(M[0, 0])
+    yc_o = a * float(yc) + float(M[1, 2])
+    xc_o = a * float(xc) + float(M[0, 2])
+    ys = np.arange(s)[:, None]
+    xs = np.arange(s)[None, :]
+    interior = (np.abs(ys - yc_o) > 2) & (np.abs(xs - xc_o) > 2)
+    diff = np.abs(np.asarray(img_g) - np.asarray(img_f))[interior]
+    assert diff.max() < 1e-3, diff.max()
+
+
+def test_hsv_float_vs_uint8_lut_bound():
+    """Quantified deviation: our float HSV pipeline vs the reference's
+    uint8-LUT cv2 pipeline (augment_hsv, datasets.py) with identical
+    gains.  Measured delta is quantization noise: mean ~1 uint8 LSB
+    (hue-LUT truncation on saturated pixels reaches ~18 LSB worst-case).
+    This test pins that bound so the float path can't silently drift."""
+    cv2 = pytest.importorskip("cv2")
+    from mmidet_tpu.data.augment import hsv_to_rgb, rgb_to_hsv
+
+    rng = np.random.default_rng(0)
+    means, maxes = [], []
+    for _ in range(10):
+        img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        gains = rng.uniform(-1, 1, 3) * [0.015, 0.7, 0.4] + 1
+        hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_RGB2HSV))
+        x = np.arange(0, 256, dtype=np.int16)
+        lut_h = ((x * gains[0]) % 180).astype(np.uint8)
+        lut_s = np.clip(x * gains[1], 0, 255).astype(np.uint8)
+        lut_v = np.clip(x * gains[2], 0, 255).astype(np.uint8)
+        hsv = cv2.merge((cv2.LUT(hue, lut_h), cv2.LUT(sat, lut_s),
+                         cv2.LUT(val, lut_v)))
+        want = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB).astype(np.float32) / 255
+
+        f = img.astype(np.float32) / 255.0
+        hsvf = np.asarray(rgb_to_hsv(jnp.asarray(f)))
+        h2 = (hsvf[..., 0] * gains[0]) % 1.0
+        s2 = np.clip(hsvf[..., 1] * gains[1], 0, 1)
+        v2 = np.clip(hsvf[..., 2] * gains[2], 0, 1)
+        got = np.asarray(hsv_to_rgb(jnp.stack([h2, s2, v2], -1)))
+        d = np.abs(got - want)
+        means.append(d.mean())
+        maxes.append(d.max())
+    assert np.mean(means) * 255 < 2.0, np.mean(means) * 255
+    assert np.max(maxes) * 255 < 25.0, np.max(maxes) * 255

@@ -219,3 +219,16 @@ def test_plot_lr_and_evolve(tmp_path):
                                          "momentum": 0.9}}) + "\n")
     p2 = plot_evolve(str(ev))
     assert os.path.isfile(p2)
+
+
+def test_get_latest_run_finds_newest_ckpt_dir(tmp_path):
+    """--resume latest resolves to the most recent run dir containing an
+    orbax ckpt/ (ref get_latest_run semantics on our layout)."""
+    import time as _time
+
+    from mmidet_tpu.utils.general import get_latest_run
+    for name in ("exp", "exp2", "exp3"):
+        (tmp_path / name / "ckpt").mkdir(parents=True)
+        _time.sleep(0.05)
+    assert get_latest_run(str(tmp_path)).endswith("exp3")
+    assert get_latest_run(str(tmp_path / "nothing_here")) == ""

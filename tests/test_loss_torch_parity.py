@@ -133,3 +133,46 @@ def test_loss_components_match_reference(seed):
     np.testing.assert_allclose(float(m["cls"]), ref_cls, rtol=2e-3,
                                atol=1e-5)
     np.testing.assert_allclose(float(ours_total), float(total), rtol=2e-3)
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_duplicate_cell_objectness_matches_reference(seed):
+    """Targets forced onto the SAME grid cell (same center, both passing
+    the anchor gate with different wh): the reference's in-place tobj
+    write keeps the LAST candidate's IoU — our two-scatter winner
+    formulation must reproduce it exactly."""
+    ComputeLoss = _ref_compute_loss()
+    nc = 2
+    rng = np.random.default_rng(seed)
+    grids = (8, 4, 2)
+    preds = [rng.standard_normal((2, 3, g, g, nc + 5)).astype(np.float32)
+             for g in grids]
+    # three targets per image; pairs 0/1 share the exact center cell
+    rows, t = [], np.zeros((2, 6, 5), np.float32)
+    m = np.zeros((2, 6), bool)
+    for b in range(2):
+        cx, cy = 0.4 + 0.05 * b, 0.6
+        for k, (w, h) in enumerate([(0.2, 0.3), (0.35, 0.18),
+                                    (0.6, 0.5)]):
+            cls = rng.integers(0, nc)
+            cxx = cx if k < 2 else 0.8  # 0 and 1 collide, 2 is elsewhere
+            rows.append([b, cls, cxx, cy, w, h])
+            t[b, k] = [cls, cxx, cy, w, h]
+            m[b, k] = True
+    targets_ref = np.asarray(rows, np.float32)
+
+    model = _FakeModel(nc)
+    loss_fn = ComputeLoss(model)
+    with torch.no_grad():
+        total, comps = loss_fn(
+            [torch.from_numpy(p) for p in preds],
+            torch.from_numpy(targets_ref), [], Flag=False)
+    ref_obj = float(comps[1])
+
+    from mmidet_tpu.losses.detection import LossHyp, compute_loss
+    anchors = jnp.asarray(ANCHORS_PX / STRIDES[:, None, None])
+    _, mm = compute_loss(
+        [jnp.asarray(p) for p in preds], jnp.asarray(t),
+        jnp.asarray(m), anchors, hyp=LossHyp())
+    np.testing.assert_allclose(float(mm["obj"]), ref_obj, rtol=1e-4,
+                               atol=1e-6)
