@@ -159,3 +159,66 @@ def test_ghostconv_matches_reference(ref_exp):
          "batch_stats": {"cv1": {"bn": s1}, "cv2": {"bn": s2}}}
     out = ours.apply(v, xj, train=False)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def ref_act():
+    sys.path.insert(0, REF)
+    import utils.activations as acts  # noqa: E402
+    return acts
+
+
+def test_frelu_matches_reference(ref_act):
+    from mmidet_tpu.nn.activations import FReLU
+    torch.manual_seed(1)
+    rng = np.random.default_rng(1)
+    m = ref_act.FReLU(12, k=3).eval().float()
+    _randomize_bn(m.bn, rng)
+    x = torch.tensor(rng.normal(0, 1, (2, 12, 8, 8)), dtype=torch.float32)
+    with torch.no_grad():
+        ref = _from_nchw(m(x))
+
+    ours = FReLU(features=12)
+    variables = {
+        "params": {"conv": {"kernel": _conv_w(m.conv.weight)},
+                   "bn": _bn(m.bn)[0]},
+        "batch_stats": {"bn": _bn(m.bn)[1]},
+    }
+    got = ours.apply(variables, jnp.asarray(_from_nchw(x)), train=False)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_aconc_matches_reference(ref_act):
+    from mmidet_tpu.nn.activations import AconC
+    torch.manual_seed(2)
+    rng = np.random.default_rng(2)
+    m = ref_act.AconC(10).eval().float()
+    x = torch.tensor(rng.normal(0, 1, (2, 10, 6, 6)), dtype=torch.float32)
+    with torch.no_grad():
+        ref = _from_nchw(m(x))
+    variables = {"params": {
+        "p1": jnp.asarray(m.p1.detach().numpy().reshape(-1)),
+        "p2": jnp.asarray(m.p2.detach().numpy().reshape(-1)),
+        "beta": jnp.asarray(m.beta.detach().numpy().reshape(-1))}}
+    got = AconC(features=10).apply(variables, jnp.asarray(_from_nchw(x)))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_meta_aconc_matches_reference(ref_act):
+    from mmidet_tpu.nn.activations import MetaAconC
+    torch.manual_seed(3)
+    rng = np.random.default_rng(3)
+    m = ref_act.MetaAconC(32).eval().float()
+    x = torch.tensor(rng.normal(0, 1, (2, 32, 8, 8)), dtype=torch.float32)
+    with torch.no_grad():
+        ref = _from_nchw(m(x))
+    variables = {"params": {
+        "p1": jnp.asarray(m.p1.detach().numpy().reshape(-1)),
+        "p2": jnp.asarray(m.p2.detach().numpy().reshape(-1)),
+        "fc1": {"kernel": _conv_w(m.fc1.weight),
+                "bias": jnp.asarray(m.fc1.bias.detach().numpy())},
+        "fc2": {"kernel": _conv_w(m.fc2.weight),
+                "bias": jnp.asarray(m.fc2.bias.detach().numpy())}}}
+    got = MetaAconC(features=32).apply(variables,
+                                       jnp.asarray(_from_nchw(x)))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-6)
