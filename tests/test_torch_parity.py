@@ -295,3 +295,99 @@ def test_pt_checkpoint_roundtrip(ref_model, tmp_path):
                       train=False)
     np.testing.assert_allclose(np.asarray(out["pred"]), t_pred.numpy(),
                                rtol=1e-3, atol=2e-3)
+
+
+def test_sgd_training_equivalence(ref_model):
+    """Cross-framework TRAINING equivalence (the acceptance-gate fallback
+    while the released checkpoint/M3FD are unavailable): from converted
+    weights, run 3 identical plain-SGD(momentum) steps on the same batch
+    in both frameworks — per-step losses and the resulting parameters
+    must agree.  Pins forward + loss + autodiff + optimizer update
+    end-to-end (torch SGD: buf = mu*buf + g; p -= lr*buf == optax
+    trace(mu) + scale(-lr))."""
+    import copy
+
+    import flax
+    import optax
+
+    from mmidet_tpu.losses.detection import LossHyp, compute_loss
+    from mmidet_tpu.train.checkpoint import _torch_key, _transform
+
+    lr, mu, steps = 0.01, 0.937, 3
+    tm = copy.deepcopy(ref_model)
+    model, variables = _our_model_and_vars(tm)
+
+    rng = np.random.default_rng(11)
+    rgb = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    ir = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    t_pad = np.zeros((2, 4, 5), np.float32)
+    m_pad = np.zeros((2, 4), bool)
+    t_pad[0, 0] = [1, 0.5, 0.5, 0.4, 0.4]
+    t_pad[1, 0] = [0, 0.3, 0.6, 0.3, 0.3]
+    m_pad[0, 0] = m_pad[1, 0] = True
+    targets_ref = torch.tensor([[0, 1, 0.5, 0.5, 0.4, 0.4],
+                                [1, 0, 0.3, 0.6, 0.3, 0.3]])
+
+    # ---- torch: 3 SGD steps (BN/dropout in eval for determinism) ----
+    tm.train()
+    for m in tm.modules():
+        if isinstance(m, (torch.nn.BatchNorm2d, torch.nn.Dropout)):
+            m.eval()
+    tm.hyp = {"box": 0.05, "cls": 0.5, "cls_pw": 1.0, "obj": 1.0,
+              "obj_pw": 1.0, "anchor_t": 4.0, "fl_gamma": 0.0}
+    tm.gr = 1.0
+    from utils.loss import ComputeLoss  # reference import
+    loss_fn = ComputeLoss(tm)
+    opt = torch.optim.SGD(tm.parameters(), lr=lr, momentum=mu)
+    t_losses = []
+    for _ in range(steps):
+        preds, _ = tm(torch.from_numpy(rgb).permute(0, 3, 1, 2),
+                      torch.from_numpy(ir).permute(0, 3, 1, 2))
+        total, _ = loss_fn(preds, targets_ref, [], Flag=False)
+        opt.zero_grad()
+        total.backward()
+        opt.step()
+        t_losses.append(float(total))
+
+    # ---- ours: the same 3 steps ----
+    anchors = jnp.asarray(
+        np.asarray(model.spec.anchors, np.float32).reshape(3, 3, 2)
+        / np.asarray(model.spec.strides, np.float32)[:, None, None])
+
+    def loss(params):
+        out = model.apply({"params": params,
+                           "batch_stats": variables["batch_stats"]},
+                          jnp.asarray(rgb), jnp.asarray(ir), train=False,
+                          decode=False)
+        return compute_loss(out["train_outs"], jnp.asarray(t_pad),
+                            jnp.asarray(m_pad), anchors, hyp=LossHyp())[0]
+
+    tx = optax.sgd(lr, momentum=mu)
+    params = variables["params"]
+    opt_state = tx.init(params)
+    o_losses = []
+    for _ in range(steps):
+        l, g = jax.value_and_grad(loss)(params)
+        updates, opt_state = tx.update(g, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        o_losses.append(float(l))
+
+    np.testing.assert_allclose(o_losses, t_losses, rtol=5e-3,
+                               err_msg=f"losses {o_losses} vs {t_losses}")
+
+    # final parameters agree leaf-for-leaf through the converter name map
+    t_final = {k: p.detach().numpy() for k, p in tm.named_parameters()}
+    flat = flax.traverse_util.flatten_dict(params)
+    checked = 0
+    for path, ours in flat.items():
+        key, kind = _torch_key(path, "params")
+        if key not in t_final:
+            continue
+        want = _transform(t_final[key], kind)
+        ours = np.asarray(ours)
+        scale = max(np.abs(want).max(), 1e-6)
+        np.testing.assert_allclose(
+            ours, want, rtol=0.02, atol=2e-3 * scale,
+            err_msg=f"param divergence after {steps} steps at {path}")
+        checked += 1
+    assert checked > 100, f"only {checked} params compared"
