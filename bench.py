@@ -35,7 +35,11 @@ import sys
 import time
 
 BASELINE_IMG_S = 2000.0
-METRIC = "yolov5s_twostream_640_paired_inference"
+_VARIANT = os.environ.get("BENCH_VARIANT", "gpt4")
+# the headline metric name stays stable for the driver; variant runs
+# stage under their own name
+METRIC = "yolov5s_twostream_640_paired_inference" if _VARIANT == "gpt4" \
+    else f"yolov5s_twostream_{_VARIANT}_640_paired_inference"
 PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH_partial.json")
 
@@ -59,7 +63,11 @@ def _measure():
 
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     img = 640
-    spec = two_stream_spec("s", "gpt4", nc=6)
+    # BENCH_VARIANT=add measures the reference's lighter shipped
+    # yolov5s_fusion_add two-stream variant through the same harness
+    # (staged under its own metric name; the headline stays gpt4)
+    variant = os.environ.get("BENCH_VARIANT", "gpt4")
+    spec = two_stream_spec("s", variant, nc=6)
     # deploy configuration: bf16, BN folded into convs (fuse_conv_and_bn
     # parity), batch sized to saturate the chip
     base = TwoStreamDetector(spec=spec, aux_mode="off", dtype=jnp.bfloat16)
