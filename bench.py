@@ -71,8 +71,12 @@ def _measure():
     # deploy configuration: bf16, BN folded into convs (fuse_conv_and_bn
     # parity), batch sized to saturate the chip
     base = TwoStreamDetector(spec=spec, aux_mode="off", dtype=jnp.bfloat16)
-    model = TwoStreamDetector(spec=spec, aux_mode="off", fused=True,
-                              pallas_fusion=True, dtype=jnp.bfloat16)
+    model = TwoStreamDetector(
+        spec=spec, aux_mode="off", fused=True, pallas_fusion=True,
+        # the fused CEM kernel is probe-gated: flip on via env once
+        # tools/_probe_cem.py has validated the Mosaic compile on hardware
+        pallas_cem=os.environ.get("BENCH_PALLAS_CEM", "0") == "1",
+        dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     rgb = jax.random.uniform(rng, (batch, img, img, 3), jnp.bfloat16)
     ir = jax.random.uniform(rng, (batch, img, img, 3), jnp.bfloat16)

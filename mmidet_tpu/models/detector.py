@@ -41,6 +41,7 @@ class TwoStreamDetector(nn.Module):
     aux_mode: str = "reference"      # 'reference' | 'full' | 'off'
     fused: bool = False              # BN folded into convs (deploy mode)
     pallas_fusion: bool = False      # fused Pallas token-transformer kernel
+    pallas_cem: bool = False         # fused Pallas CEM kernel (deploy only)
     # single-kernel pool+transformer+upsample+Add2 merge (fusion_pallas):
     # measured at parity with the XLA sequence at Mosaic-compilable tile
     # sizes on v5e, so off by default — see PERF.md "fusion mega-kernel"
@@ -63,7 +64,8 @@ class TwoStreamDetector(nn.Module):
         x: Any = rgb.astype(dt)
         x2 = None if ir is None else ir.astype(dt)
         if self.use_cem:
-            x = ContourEnhance(rgb.shape[-1], fused=self.fused, dtype=dt,
+            x = ContourEnhance(rgb.shape[-1], fused=self.fused,
+                               use_pallas=self.pallas_cem, dtype=dt,
                                name="enhance")(x, train)
 
         y: dict[int, Any] = {}

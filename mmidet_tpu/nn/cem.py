@@ -113,17 +113,66 @@ class EnhanceConv(nn.Module):
         return y * factor.astype(self.dtype) + bias.astype(self.dtype)
 
 
+class _ConvP(nn.Module):
+    """Param-mirror of nn.Conv(use_bias=True) — declares the same tree
+    ({kernel, bias}) and returns the values (the fused-CEM kernel path
+    reads the weights without running the XLA conv)."""
+    features: int
+    in_ch: int
+    k: int = 3
+
+    @nn.compact
+    def __call__(self):
+        return {"kernel": self.param(
+                    "kernel", conv_kernel_init,
+                    (self.k, self.k, self.in_ch, self.features), jnp.float32),
+                "bias": self.param("bias", nn.initializers.zeros,
+                                   (self.features,), jnp.float32)}
+
+
+class _SobelP(nn.Module):
+    """Param-mirror of EnhanceConv ({sobel_factor, bias})."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return {"sobel_factor": self.param(
+                    "sobel_factor", nn.initializers.ones,
+                    (self.features,), jnp.float32),
+                "bias": self.param("bias", nn.initializers.zeros,
+                                   (self.features,), jnp.float32)}
+
+
 class ContourEnhance(nn.Module):
     """CEM: expand x8 -> edge bank -> add -> reduce -> residual.
     Ref: AdaptiveModule3, common.py:751-803 (conv/bn/leaky-relu 0.1).
-    ``fused=True``: BN folded into conv kernel+bias (deploy mode)."""
+    ``fused=True``: BN folded into conv kernel+bias (deploy mode).
+    ``use_pallas=True`` (deploy only): the whole module runs as one fused
+    Pallas kernel (``mmidet_tpu.nn.cem_pallas``) — same param tree via
+    mirrors, so checkpoints and the torch converter are unaffected."""
     channels: int = 3
     fused: bool = False
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = self.channels
+        if self.fused and self.use_pallas and not train:
+            from mmidet_tpu.nn.cem_pallas import (cem_kernel_supported,
+                                                  fused_cem)
+            if cem_kernel_supported(x.shape[1], x.shape[2], x.shape[3]):
+                c2 = _ConvP(c * 8, c, name="conv2")()
+                sb = _SobelP(c * 8, name="sobel")()
+                c3 = _ConvP(c, c * 8, name="conv3")()
+                interp = jax.devices()[0].platform != "tpu"
+                # honor the module dtype: f32 modules get f32 patch matmuls
+                # (exactness), bf16 deploy modules get the fast bf16 path
+                precise = jnp.dtype(self.dtype) == jnp.float32
+                return fused_cem(
+                    x.astype(self.dtype), c2["kernel"], c2["bias"],
+                    sb["sobel_factor"], sb["bias"], c3["kernel"], c3["bias"],
+                    interpret=interp, precise=precise)
         y = nn.Conv(c * 8, (3, 3), padding=[(1, 1), (1, 1)],
                     use_bias=self.fused, kernel_init=conv_kernel_init,
                     dtype=self.dtype, name="conv2")(x)

@@ -1,0 +1,262 @@
+"""Fused Pallas CEM kernel: the whole Contour Enhancement Module in one pass.
+
+Functional parity surface: reference ``AdaptiveModule3`` / ``EnhanceConv2d``
+(common.py:751-911) in their BN-folded deploy form, i.e. exactly what
+``mmidet_tpu.nn.cem.ContourEnhance(fused=True)`` computes:
+
+    y   = leaky_0.1(conv2(x) + b2)          # 3x3, 3 -> 24
+    g   = bank8 (*) sum_c(y)                # 3x3, 1 -> 8, frozen kernels
+    e   = tile(g, 3) * sobel_factor + sobel_bias
+    z   = leaky_0.1(conv3(y + e) + b3)      # 3x3, 24 -> 3
+    out = z + x
+
+Why a kernel at all: XLA lowers the 3->24 and 24->3 convs through the MXU
+with both contraction and output channels padded to the 128-lane width, so
+the module runs at an effective ~6-8 TFLOP/s and materializes every 24-ch
+intermediate in HBM (measured 17.7 ms/batch-128 @640px on v5e — PERF.md
+round-1 ablation).  This kernel keeps every intermediate in VMEM and
+reformulates each conv as an **overlapped-patch matmul** that packs several
+adjacent output pixels into one MXU row:
+
+  * conv2: 8 adjacent output px per row -> patch K = 3 rows x 10 px x 3 ch
+    = 90 (pad 128), N = 8 px x 24 ch = 192 -> ~21% MXU utilization
+    (vs ~4-7% for a channel-padded small-C conv).
+  * bank + tile + factor: folded into ONE matmul (the edge bank is linear):
+    patch K = 3 x 10 x 1 = 30 (pad 128) over the channel-summed map,
+    N = 8 px x 24 ch with the tile/scale expansion baked into the weight
+    (``Wb3[.., 24p+m] = bank[.., m%8] * factor[m]``), so ``e`` comes out
+    directly in the 24-channel group layout.
+  * conv3: 5x8-px 2-D output blocks -> K = 7 rows x 10 px x 24 ch = 1680
+    (pad 1792), N = 5x8 px x 3 ch = 120 (pad 128) -> ~11% utilization.
+
+The image travels through HBM exactly twice (x in, out out); row blocks of
+R rows are processed per grid step with a 3-row compute halo (y/e are
+recomputed on up to 2 halo rows per side -- cheap vs an extra HBM pass).
+Zero-padding parity with the reference convs is exact: the input is
+pre-padded (rows/cols) on the host side of the call, group-padding supplies
+the in-kernel column zeros, and row masks zero y/e outside the image so the
+conv3 sees true zero padding (NOT leaky(bias) halo values).
+
+Reference for the measured XLA floor this replaces: PERF.md "Where the
+time goes" (CEM 17.7 ms = conv2 ~6 + conv3 ~11 standalone).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mmidet_tpu.nn.cem import edge_filter_bank
+
+_C = 3           # input channels (RGB); the reference CEM is 3-channel only
+_E = 24          # expanded channels = 8 * C
+_LANE = 128
+
+
+def _leaky(v):
+    return jnp.where(v >= 0, v, 0.1 * v)
+
+
+def _round_up(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# weight packing (runs OUTSIDE the kernel, on host/XLA; all indices static)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _w2p_indices():
+    ky, kx, c, p, n = np.meshgrid(np.arange(3), np.arange(3), np.arange(_C),
+                                  np.arange(8), np.arange(_E), indexing="ij")
+    rows = 30 * ky + 3 * (p + kx) + c          # dx = p + kx in 0..9
+    cols = _E * p + n
+    return (rows.ravel(), cols.ravel(),
+            ky.ravel(), kx.ravel(), c.ravel(), n.ravel())
+
+
+@functools.lru_cache(maxsize=None)
+def _wb3_bank() -> np.ndarray:
+    """Static part of the bank+tile matmul weight: (128, 192) with
+    bank[dyb, q-p, 0, m%8] at [10*dyb + q, 24*p + m]."""
+    bank = edge_filter_bank(8, 1, 3)           # (3, 3, 1, 8)
+    w = np.zeros((_LANE, 8 * _E), np.float32)
+    for dyb in range(3):
+        for kx in range(3):
+            for p in range(8):
+                q = p + kx
+                for m in range(_E):
+                    w[10 * dyb + q, _E * p + m] = bank[dyb, kx, 0, m % 8]
+    return w
+
+
+@functools.lru_cache(maxsize=None)
+def _w3p_indices():
+    ky, kx, m, s, p, n = np.meshgrid(np.arange(3), np.arange(3),
+                                     np.arange(_E), np.arange(5),
+                                     np.arange(8), np.arange(_C),
+                                     indexing="ij")
+    rows = 240 * (s + ky) + _E * (p + kx) + m  # dy = s+ky, q = p+kx
+    cols = _E * s + _C * p + n
+    return (rows.ravel(), cols.ravel(),
+            ky.ravel(), kx.ravel(), m.ravel(), n.ravel())
+
+
+def pack_cem_weights(w2, b2, factor, bias_s, w3, b3, dtype=jnp.bfloat16):
+    """Pack the CEM's deploy params into the kernel's matmul weights.
+
+    w2: (3,3,3,24) HWIO, b2: (24,), factor/bias_s: (24,), w3: (3,3,24,3),
+    b3: (3,).  Returns a dict of six arrays (see fused_cem)."""
+    rows, cols, ky, kx, c, n = _w2p_indices()
+    w2p = jnp.zeros((_LANE, 8 * _E), jnp.float32)
+    w2p = w2p.at[rows, cols].set(w2[ky, kx, c, n])
+    b2v = jnp.tile(b2, 8)[None, :]                        # (1, 192)
+
+    colfac = jnp.tile(factor, 8)                          # [24p+m] -> factor[m]
+    wb3 = jnp.asarray(_wb3_bank()) * colfac[None, :]
+    bev = jnp.tile(bias_s, 8)[None, :]
+
+    rows, cols, ky, kx, m, n = _w3p_indices()
+    w3p = jnp.zeros((1792, _LANE), jnp.float32)
+    w3p = w3p.at[rows, cols].set(w3[ky, kx, m, n])
+    b3v = jnp.concatenate([jnp.tile(b3, 40),
+                           jnp.zeros((8,), jnp.float32)])[None, :]
+    return {"w2p": w2p.astype(dtype), "b2v": b2v, "wb3": wb3.astype(dtype),
+            "bev": bev, "w3p": w3p.astype(dtype), "b3v": b3v}
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+def _kernel(x_hbm, w2p, b2v, wb3, bev, w3p, b3v, out_ref, x_scr, sem,
+            *, H, W, R, pdt):
+    """One (image, row-block) grid step.  pdt: matmul/patch compute dtype
+    (bf16 on hardware; f32 available for exactness tests)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    G = W // 8
+    row0 = i * R
+
+    cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(row0, R + 6)], x_scr, sem)
+    cp.start()
+    cp.wait()
+    x = x_scr[:]                                      # (R+6, FIN)
+
+    # ---- conv2 as an overlapped-patch matmul (8 px / row) ----------------
+    # patch lane kappa = 30*ky + (3*dx + c), window px = 8j-1+dx, dx in 0..9;
+    # built with two shifted reshapes per kernel row (windows overlap 2 px).
+    parts = []
+    for ky in range(3):
+        a = x[ky:ky + R + 4, 0:_E * G].reshape(R + 4, G, _E)
+        s = x[ky:ky + R + 4, _E:_E * G + _E].reshape(R + 4, G, _E)
+        parts.append(jnp.concatenate([a, s[..., :6]], axis=-1))
+    parts.append(jnp.zeros((R + 4, G, _LANE - 90), pdt))
+    p2 = jnp.concatenate([q.astype(pdt) for q in parts], axis=-1)
+    ypre = jnp.dot(p2.reshape((R + 4) * G, _LANE), w2p[:].astype(pdt),
+                   preferred_element_type=jnp.float32)
+    ypre = ypre.reshape(R + 4, G, 8 * _E) + b2v[:][0]
+    y = _leaky(ypre)
+    # rows outside the image: zero them so downstream convs see true
+    # zero padding (y row t is image row row0 - 2 + t)
+    t = jax.lax.broadcasted_iota(jnp.int32, (R + 4, G, 1), 0) + (row0 - 2)
+    y = y * ((t >= 0) & (t < H)).astype(y.dtype)
+    yg = y.astype(pdt)                                # (R+4, G, 192)
+
+    # ---- channel sum + (bank * tile * factor) matmul ---------------------
+    ysum = y.reshape(R + 4, G, 8, _E).sum(-1).astype(pdt)   # (R+4, G, 8)
+    zg = jnp.zeros((R + 4, 1, 8), pdt)
+    ysum_gp = jnp.concatenate([zg, ysum, zg], axis=1)       # (R+4, G+2, 8)
+    eparts = []
+    for dyb in range(3):
+        ts = ysum_gp[dyb:dyb + R + 2]
+        eparts.append(jnp.concatenate(
+            [ts[:, 0:G, 7:8], ts[:, 1:G + 1, :], ts[:, 2:G + 2, 0:1]],
+            axis=-1))                                       # (R+2, G, 10)
+    eparts.append(jnp.zeros((R + 2, G, _LANE - 30), pdt))
+    ep = jnp.concatenate(eparts, axis=-1)
+    e = jnp.dot(ep.reshape((R + 2) * G, _LANE), wb3[:].astype(pdt),
+                preferred_element_type=jnp.float32)
+    e = e.reshape(R + 2, G, 8 * _E) + bev[:][0]
+
+    # ---- y2 = y + e (rows -1..R of the block), masked + group-padded -----
+    y2 = yg[1:R + 3].astype(jnp.float32) + e
+    u = jax.lax.broadcasted_iota(jnp.int32, (R + 2, G, 1), 0) + (row0 - 1)
+    y2 = (y2 * ((u >= 0) & (u < H)).astype(y2.dtype)).astype(pdt)
+    zg2 = jnp.zeros((R + 2, 1, 8 * _E), pdt)
+    y2gp = jnp.concatenate([zg2, y2, zg2], axis=1)          # (R+2, G+2, 192)
+    y2gp = jnp.concatenate(
+        [y2gp, jnp.zeros((6, G + 2, 8 * _E), pdt)], axis=0)
+
+    # ---- conv3 as 5x8-px-block patch matmul ------------------------------
+    # K = 240*dy + 24*q + m over a 7-row x 10-px x 24-ch window; the
+    # stride-5 row pick uses the slice->reshape->[:,0] trick (free on the
+    # outer dim).
+    parts3 = []
+    for dy in range(7):
+        tt = y2gp[dy:dy + R].reshape(R // 5, 5, G + 2, 8 * _E)[:, 0]
+        parts3.append(jnp.concatenate(
+            [tt[:, 0:G, 168:192], tt[:, 1:G + 1, :], tt[:, 2:G + 2, 0:_E]],
+            axis=-1))                                       # (R//5, G, 240)
+    parts3.append(jnp.zeros((R // 5, G, 112), pdt))
+    p3 = jnp.concatenate(parts3, axis=-1)
+    z = jnp.dot(p3.reshape(R // 5 * G, 1792), w3p[:].astype(pdt),
+                preferred_element_type=jnp.float32)
+    z = _leaky(z.reshape(R // 5, G, _LANE) + b3v[:][0])
+
+    # ---- rearrange (R//5, G, [24s+3p+n]) -> (R, 3W) + residual -----------
+    rows = [z[:, :, _E * s:_E * s + _E].reshape(R // 5, _E * G)
+            for s in range(5)]
+    zz = jnp.stack(rows, axis=1).reshape(R, _E * G)         # 24G == 3W
+    res = x_scr[3:3 + R, 3:3 + 3 * W]
+    out_ref[0] = (zz + res.astype(jnp.float32)).astype(out_ref.dtype)
+
+
+def cem_kernel_supported(h: int, w: int, c: int) -> bool:
+    return c == _C and h % 40 == 0 and w % 8 == 0 and w >= 16
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "precise"))
+def fused_cem(x, w2, b2, factor, bias_s, w3, b3, *, interpret: bool = False,
+              precise: bool = False):
+    """x: (B, H, W, 3).  Params as in pack_cem_weights.  Returns the CEM
+    output (B, H, W, 3) in x.dtype.  ``precise=True`` runs patches/matmuls
+    in f32 (for exactness tests; deploy uses bf16 like the XLA path)."""
+    B, H, W, C = x.shape
+    assert cem_kernel_supported(H, W, C), (H, W, C)
+    R = 80 if H % 80 == 0 else 40
+    G = W // 8
+    fin = _round_up(max(3 * (W + 2), _E * G + _E), _LANE)
+    pdt = jnp.float32 if precise else jnp.bfloat16
+
+    packed = pack_cem_weights(w2, b2, factor, bias_s, w3, b3,
+                              dtype=jnp.float32 if precise else jnp.bfloat16)
+    # pre-pad: 3 halo rows + 1 halo px (3 lanes) each side, flat W*C lanes
+    xf = jnp.pad(x.astype(jnp.bfloat16 if not precise else jnp.float32),
+                 ((0, 0), (3, 3), (1, 1), (0, 0)))
+    xf = xf.reshape(B, H + 6, 3 * (W + 2))
+    xf = jnp.pad(xf, ((0, 0), (0, 0), (0, fin - 3 * (W + 2))))
+
+    kernel = functools.partial(_kernel, H=H, W=W, R=R, pdt=pdt)
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, H // R),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  wspec, wspec, wspec, wspec, wspec, wspec],
+        out_specs=pl.BlockSpec((1, R, 3 * W), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, 3 * W), x.dtype),
+        scratch_shapes=[pltpu.VMEM((R + 6, fin), xf.dtype),
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(xf, packed["w2p"], packed["b2v"], packed["wb3"], packed["bev"],
+      packed["w3p"], packed["b3v"])
+    return out.reshape(B, H, W, C)
