@@ -46,6 +46,10 @@ class TwoStreamDetector(nn.Module):
     # measured at parity with the XLA sequence at Mosaic-compilable tile
     # sizes on v5e, so off by default — see PERF.md "fusion mega-kernel"
     merge_fusion_kernel: bool = False
+    # diagnostic (tools/stage_profile.py): stop after this layer index and
+    # return {"trunc": <that layer's output>} — prefix-delta wall-clock and
+    # XLA cost analysis attribute time/bytes to individual stages
+    truncate_at: int | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -194,6 +198,10 @@ class TwoStreamDetector(nn.Module):
 
             if rl.index in save:
                 y[rl.index] = x
+
+            if self.truncate_at is not None and rl.index == self.truncate_at:
+                out = tuple(x) if isinstance(x, (list, tuple)) else x
+                return {"trunc": out, "aux": aux}
 
         if result is None:
             raise ValueError("spec has no Detect layer")

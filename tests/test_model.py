@@ -260,3 +260,31 @@ def test_baseline_config_scales_shape_check():
         n_anchors = sum(3 * (128 // s) ** 2 for s in spec.strides)
         assert out["pred"].shape == (2, n_anchors, 11), (name,
                                                          out["pred"].shape)
+
+
+def test_truncate_at_matches_full_intermediate():
+    """truncate_at=k returns exactly the layer-k output of the full forward
+    (diagnostic contract for tools/stage_profile.py prefix deltas)."""
+    import jax
+
+    spec = two_stream_spec("t", "gpt4", nc=2, fusion_layers=2)
+    full = TwoStreamDetector(spec=spec, aux_mode="off")
+    rgb = jnp.linspace(0, 1, 2 * 64 * 64 * 3,
+                       dtype=jnp.float32).reshape(2, 64, 64, 3)
+    ir = rgb[:, ::-1]
+    variables = full.init({"params": jax.random.PRNGKey(0)}, rgb, ir,
+                          train=False)
+    _, state = full.apply(variables, rgb, ir, train=False,
+                          capture_intermediates=True, mutable=["intermediates"])
+    inter = state["intermediates"]
+    # layer 5: the IR backbone's P2 C3 (single-output module)
+    ref5 = inter["l5_C3"]["__call__"][0]
+    trunc = TwoStreamDetector(spec=spec, aux_mode="off", truncate_at=5)
+    out = trunc.apply(variables, rgb, ir, train=False)
+    assert set(out) == {"trunc", "aux"}
+    np.testing.assert_allclose(np.asarray(out["trunc"]), np.asarray(ref5),
+                               rtol=1e-5, atol=1e-5)
+    # layer 6 (GPT fusion) returns a two-stream tuple
+    out6 = TwoStreamDetector(spec=spec, aux_mode="off", truncate_at=6).apply(
+        variables, rgb, ir, train=False)
+    assert isinstance(out6["trunc"], tuple) and len(out6["trunc"]) == 2
