@@ -42,6 +42,17 @@ def build_parser():
                    help="class-agnostic NMS")
     p.add_argument("--classes", type=int, nargs="+", default=None,
                    help="filter detections to these class ids")
+    p.add_argument("--save-crop", action="store_true",
+                   help="save cropped detection boxes under crops/<class>/ "
+                        "(ref --save-crop)")
+    p.add_argument("--line-thickness", type=int, default=2,
+                   help="box outline thickness in px (ref --line-thickness)")
+    p.add_argument("--hide-labels", action="store_true",
+                   help="draw boxes without class labels (ref --hide-labels)")
+    p.add_argument("--hide-conf", action="store_true",
+                   help="omit confidences from labels (ref --hide-conf)")
+    p.add_argument("--exist-ok", action="store_true",
+                   help="reuse --project/--name without incrementing")
     return p
 
 
@@ -52,7 +63,8 @@ def main(argv=None):
     model, variables, spec = load_model_and_vars(args.cfg, args.weights,
                                                  args.nc)
     names = args.names or [str(i) for i in range(args.nc)]
-    out_dir = increment_path(os.path.join(args.project, args.name))
+    out_dir = increment_path(os.path.join(args.project, args.name),
+                             args.exist_ok)
     os.makedirs(out_dir, exist_ok=True)
 
     rgb_files = discover_images(args.source1)
@@ -116,13 +128,25 @@ def main(argv=None):
                     if args.save_conf:
                         line += f" {conf:.6f}"
                     fh.write(line + "\n")
+        if args.save_crop:
+            # crops/<class>/<stem>.jpg from the RGB frame (ref save_one_box,
+            # detect_twostream.py:151 / general.py:684-706)
+            from mmidet_tpu.utils.general import save_one_box
+            for k, (*box, conf, cls) in enumerate(d):
+                crop_dir = os.path.join(out_dir, "crops", names[int(cls)])
+                os.makedirs(crop_dir, exist_ok=True)
+                save_one_box(box, im0_rgb,
+                             os.path.join(crop_dir, f"{base}_{k}.jpg"))
         if not args.nosave:
             ann_rgb, ann_ir = im0_rgb.copy(), im0_ir.copy()
             for *box, conf, cls in d:
-                label = f"{names[int(cls)]} {conf:.2f}"
+                label = None if args.hide_labels else (
+                    names[int(cls)] if args.hide_conf
+                    else f"{names[int(cls)]} {conf:.2f}")
                 ann_rgb = plot_one_box(box, ann_rgb, colors(int(cls)),
-                                       label)
-                ann_ir = plot_one_box(box, ann_ir, colors(int(cls)), label)
+                                       label, args.line_thickness)
+                ann_ir = plot_one_box(box, ann_ir, colors(int(cls)), label,
+                                      args.line_thickness)
             Image.fromarray(ann_rgb).save(
                 os.path.join(out_dir, base + "_rgb.jpg"))
             Image.fromarray(ann_ir).save(

@@ -75,6 +75,26 @@ def build_parser() -> argparse.ArgumentParser:
                    help="loader prefetch depth")
     p.add_argument("--freeze", nargs="+", default=[],
                    help="param-path substrings to freeze, e.g. backbone_rgb")
+    p.add_argument("--noautoanchor", action="store_true",
+                   help="disable the pre-training anchor-fit check")
+    p.add_argument("--label-smoothing", type=float, default=None,
+                   help="BCE label smoothing epsilon (overrides hyp)")
+    p.add_argument("--cache-images", action="store_true",
+                   help="RAM-cache decoded images after first access")
+    p.add_argument("--quad", action="store_true",
+                   help="quad batches: groups of 4 -> one 2x-size sample "
+                        "(ref collate_fn4)")
+    p.add_argument("--bucket", type=str, default="",
+                   help="gsutil bucket for per-epoch results upload")
+    p.add_argument("--entity", type=str, default="",
+                   help="W&B entity")
+    p.add_argument("--bbox-interval", type=int, default=-1,
+                   help="every N epochs, save annotated val images "
+                        "(+W&B bbox media when wandb is live)")
+    p.add_argument("--sync-bn", action="store_true",
+                   help="accepted for reference-CLI compatibility: BN stats "
+                        "are ALWAYS global-batch under the pjit'd step "
+                        "(sync-by-default), so this is a no-op")
     return p
 
 
@@ -97,7 +117,12 @@ def main(argv=None):
         workers=args.workers, freeze=tuple(args.freeze),
         upload_dataset=args.upload_dataset,
         log_artifacts=args.log_artifacts,
-        artifact_alias=args.artifact_alias)
+        artifact_alias=args.artifact_alias,
+        autoanchor=not args.noautoanchor,
+        label_smoothing=args.label_smoothing,
+        cache_images=args.cache_images, quad=args.quad,
+        bucket=args.bucket, entity=args.entity,
+        bbox_interval=args.bbox_interval)
     if args.evolve:
         from mmidet_tpu.train.evolve import evolve
         from mmidet_tpu.train.trainer import load_hyp

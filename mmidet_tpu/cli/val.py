@@ -67,6 +67,18 @@ def build_parser():
                         "rect=True pad=0.5)")
     p.add_argument("--augment", action="store_true",
                    help="TTA eval (3 scale/flip passes, ref --augment)")
+    p.add_argument("--single-cls", action="store_true",
+                   help="treat as single-class dataset")
+    p.add_argument("--save-txt", action="store_true",
+                   help="save per-image predictions to "
+                        "<project>/<name>/labels/*.txt")
+    p.add_argument("--save-conf", action="store_true",
+                   help="append confidences in --save-txt rows")
+    p.add_argument("--save-hybrid", action="store_true",
+                   help="append ground-truth labels in --save-txt rows")
+    p.add_argument("--project", type=str, default="runs/test")
+    p.add_argument("--name", type=str, default="exp")
+    p.add_argument("--exist-ok", action="store_true")
     return p
 
 
@@ -74,12 +86,23 @@ def main(argv=None):
     set_logging()
     args = build_parser().parse_args(argv)
     data = load_data_yaml(args.data)
-    nc = int(data["nc"])
-    names = data.get("names")
+    nc = 1 if args.single_cls else int(data["nc"])
+    names = ["item"] if args.single_cls else data.get("names")
     model, variables, spec = load_model_and_vars(args.cfg, args.weights, nc)
-    ds = PairedDataset(data["val_rgb"], data["val_ir"], nc=nc)
+    ds = PairedDataset(data["val_rgb"], data["val_ir"],
+                       nc=None if args.single_cls else nc)
+    if args.single_cls:  # collapse labels (ref --single-cls)
+        for lab in ds.labels:
+            if len(lab):
+                lab[:, 0] = 0.0
 
     if args.task in ("val", "test"):
+        import os
+        from mmidet_tpu.utils.general import increment_path
+        out_dir = None
+        if args.save_txt:
+            out_dir = increment_path(os.path.join(args.project, args.name),
+                                     args.exist_ok)
         # scaleup=False: reference val-time letterbox only scales DOWN
         # (datasets.py:1484-1487)
         loader = RectLoader(ds, args.batch_size, args.img_size) \
@@ -90,7 +113,11 @@ def main(argv=None):
                        conf_thres=args.conf_thres, iou_thres=args.iou_thres,
                        names=names, verbose=True,
                        save_json=args.save_json or None,
-                       augment=args.augment, coco91=args.coco91)
+                       augment=args.augment, coco91=args.coco91,
+                       save_txt_dir=(os.path.join(out_dir, "labels")
+                                     if out_dir else None),
+                       save_conf=args.save_conf,
+                       save_hybrid=args.save_hybrid)
         print(json.dumps({"P": res.mp, "R": res.mr, "mAP50": res.map50,
                           "mAP75": res.map75, "mAP": res.map,
                           "speed_ms": res.speed_ms[0]}))

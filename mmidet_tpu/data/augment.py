@@ -434,6 +434,55 @@ def make_batch_augment(s: int, hyp: AugmentHyp, max_labels: int,
     return fn
 
 
+def quad_batch(rgb, ir, targets, mask, key):
+    """Reference ``--quad`` collate (``collate_fn4``, datasets.py:1020-1046
+    and its two-stream twin): each group of 4 samples becomes ONE sample at
+    double resolution — with prob 0.5 a bilinear 2x upscale of the group's
+    FIRST image (keeping only its labels, as the reference), else a 2x2
+    mosaic of all four (tiles 0/1 stacked in the left column, 2/3 in the
+    right) with labels offset+halved.
+
+    rgb/ir: (B, s, s, C) float; targets: (B, T, 5) normalized cls,xywh;
+    mask: (B, T).  B must be divisible by 4.  Returns the same dict keys at
+    shapes (B/4, 2s, 2s, C) / (B/4, 4T, 5) / (B/4, 4T)."""
+    from mmidet_tpu.nn.resize import bilinear_resize
+    b, s = rgb.shape[0], rgb.shape[1]
+    assert b % 4 == 0, f"--quad needs batch % 4 == 0, got {b}"
+    g, t = b // 4, targets.shape[1]
+
+    def grp(x):
+        return x.reshape((g, 4) + x.shape[1:])
+    r4, i4, l4, m4 = grp(rgb), grp(ir), grp(targets), grp(mask)
+
+    def mosaic22(t4):
+        left = jnp.concatenate([t4[:, 0], t4[:, 1]], axis=1)
+        right = jnp.concatenate([t4[:, 2], t4[:, 3]], axis=1)
+        return jnp.concatenate([left, right], axis=2)
+
+    mq_r, mq_i = mosaic22(r4), mosaic22(i4)
+    # label remap: tile1 y+=1, tile2 x+=1, tile3 both; then xywh *= 0.5
+    # (ref ho/wo/s rows, datasets.py collate_fn4)
+    offx = jnp.asarray([0.0, 0.0, 1.0, 1.0])[None, :, None]
+    offy = jnp.asarray([0.0, 1.0, 0.0, 1.0])[None, :, None]
+    lm = jnp.stack([l4[..., 0], (l4[..., 1] + offx) * 0.5,
+                    (l4[..., 2] + offy) * 0.5, l4[..., 3] * 0.5,
+                    l4[..., 4] * 0.5], axis=-1).reshape(g, 4 * t, 5)
+    mm = m4.reshape(g, 4 * t)
+
+    up_r = bilinear_resize(r4[:, 0], (2 * s, 2 * s))
+    up_i = bilinear_resize(i4[:, 0], (2 * s, 2 * s))
+    lu = jnp.concatenate([l4[:, 0], jnp.zeros((g, 3 * t, 5), l4.dtype)],
+                         axis=1)
+    mu = jnp.concatenate([m4[:, 0], jnp.zeros((g, 3 * t), m4.dtype)], axis=1)
+
+    take_up = jax.random.uniform(key, (g,)) < 0.5
+    sel_img = take_up[:, None, None, None]
+    return {"rgb": jnp.where(sel_img, up_r, mq_r),
+            "ir": jnp.where(sel_img, up_i, mq_i),
+            "targets": jnp.where(take_up[:, None, None], lu, lm),
+            "mask": jnp.where(take_up[:, None], mu, mm)}
+
+
 # ---------------------------------------------------------------------------
 # additional single-stream augmentations (reference datasets.py:1607-2322)
 # ---------------------------------------------------------------------------

@@ -170,7 +170,12 @@ class PairedDataset:
     """
 
     def __init__(self, rgb_path: str, ir_path: str, nc: int | None = None,
-                 cache_dir: str | None = None):
+                 cache_dir: str | None = None, cache_images: bool = False):
+        # --cache-images (ref datasets.py:841-857): keep decoded arrays in
+        # RAM after first access (the loaders also switch off the native
+        # decode path so the cache is actually hit)
+        self.cache_images = cache_images
+        self._img_cache: dict[int, tuple] = {}
         self.rgb_files = discover_images(rgb_path)
         self.ir_files = discover_images(ir_path)
         assert len(self.rgb_files) == len(self.ir_files), (
@@ -193,9 +198,14 @@ class PairedDataset:
         return len(self.rgb_files)
 
     def __getitem__(self, i: int):
-        from PIL import Image
-        rgb = np.asarray(Image.open(self.rgb_files[i]).convert("RGB"))
-        ir = np.asarray(Image.open(self.ir_files[i]).convert("RGB"))
+        if self.cache_images and i in self._img_cache:
+            rgb, ir = self._img_cache[i]
+        else:
+            from PIL import Image
+            rgb = np.asarray(Image.open(self.rgb_files[i]).convert("RGB"))
+            ir = np.asarray(Image.open(self.ir_files[i]).convert("RGB"))
+            if self.cache_images:
+                self._img_cache[i] = (rgb, ir)
         assert rgb.shape[:2] == ir.shape[:2], \
             f"paired shape mismatch at index {i}"
         return {"rgb": rgb, "ir": ir, "labels": self.labels[i],

@@ -192,7 +192,8 @@ class MosaicLoader:
         self.epoch = 0
         self.image_weights = None  # optional (N,) sampling weights
         if use_native is None:
-            use_native = _native.available()
+            use_native = (_native.available()
+                          and not getattr(dataset, 'cache_images', False))
         self.use_native = use_native
 
     def __len__(self):
@@ -319,7 +320,8 @@ class PairedLoader:
                  use_native: bool | None = None, scaleup: bool = True):
         from mmidet_tpu.data import native as _native
         if use_native is None:
-            use_native = _native.available()
+            use_native = (_native.available()
+                          and not getattr(dataset, 'cache_images', False))
         self.use_native = use_native
         self.scaleup = scaleup  # False = reference val-time letterbox
         self.image_weights = None  # optional (N,) sampling weights

@@ -98,14 +98,25 @@ def evaluate(model, variables, loader, nc: int,
              max_det: int = 300, names=None, two_stream: bool = True,
              verbose: bool = False, save_json: str | None = None,
              confusion_dir: str | None = None,
-             augment: bool = False, coco91: bool = False) -> EvalResults:
+             augment: bool = False, coco91: bool = False,
+             media_dir: str | None = None,
+             media_max: int = 16,
+             save_txt_dir: str | None = None,
+             save_conf: bool = False,
+             save_hybrid: bool = False) -> EvalResults:
     """``save_json``: optional COCO-format detection dump (ref test.py
     --save-json).  ``confusion_dir``: write an IoU-matched confusion matrix
     (ref test.py ConfusionMatrix + plot).  ``augment``: TTA — three
     scale/flip passes concatenated before NMS (ref test.py --augment).
     ``coco91``: map 80-index class ids to the COCO-paper 91-index ids in
     the JSON (ref test.py:91 coco80_to_coco91_class, applied when the
-    dataset is COCO)."""
+    dataset is COCO).  ``media_dir``: write up to ``media_max`` val images
+    annotated with predicted boxes (the reference's per-interval W&B bbox
+    media panels, test.py:174-182 / --bbox_interval).  ``save_txt_dir``:
+    one ``<stem>.txt`` per image with predictions as ``cls xywh`` normalized
+    to the ORIGINAL frame (+``conf`` when ``save_conf``); ``save_hybrid``
+    appends the ground-truth labels too (ref test.py:146-171 --save-txt /
+    --save-conf / --save-hybrid)."""
     iouv = np.linspace(0.5, 0.95, 10)
     json_records = []
     cls_map = coco80_to_coco91_class() if coco91 else None
@@ -122,6 +133,7 @@ def evaluate(model, variables, loader, nc: int,
     stats = []
     t_inf = t_nms = 0.0
     n_img = 0
+    n_media = 0
     for batch in loader:
         rgb = jnp.asarray(batch["rgb"], jnp.float32) / 255.0
         ir = jnp.asarray(batch["ir"], jnp.float32) / 255.0
@@ -149,9 +161,46 @@ def evaluate(model, variables, loader, nc: int,
                                              orig_shape)
             else:
                 l_xyxy = np.zeros((0, 5), np.float32)
+            if media_dir is not None and n_media < media_max:
+                import os
+                from mmidet_tpu.utils.plots import plot_one_box
+                os.makedirs(media_dir, exist_ok=True)
+                img8 = (np.asarray(rgb[si]) * 255).astype(np.uint8).copy()
+                for x1, y1, x2, y2, conf, cls in d:  # letterboxed-frame px
+                    nm = (names[int(cls)] if names is not None
+                          and int(cls) < len(names) else str(int(cls)))
+                    plot_one_box((x1, y1, x2, y2), img8,
+                                 label=f"{nm} {conf:.2f}")
+                from PIL import Image as _Image
+                _Image.fromarray(img8).save(
+                    os.path.join(media_dir, f"val_{n_media:03d}.jpg"))
+                n_media += 1
             if len(d):
                 d = d.copy()
                 d[:, :4] = _scale_boxes(d[:, :4], ratio_pad, orig_shape)
+            if save_txt_dir is not None:
+                import os
+                os.makedirs(save_txt_dir, exist_ok=True)
+                files = batch.get("files")
+                stem = os.path.splitext(os.path.basename(
+                    files[si]))[0] if files else f"img{n_img - rgb.shape[0] + si}"
+                oh, ow = orig_shape
+                lines = []
+                for x1, y1, x2, y2, conf, cls in d:
+                    xywh = ((x1 + x2) / 2 / ow, (y1 + y2) / 2 / oh,
+                            (x2 - x1) / ow, (y2 - y1) / oh)
+                    row = (int(cls), *xywh) + ((float(conf),) if save_conf
+                                               else ())
+                    lines.append(" ".join(f"{v:.6g}" for v in row))
+                if save_hybrid:  # append GT for auto-labelling (ref)
+                    for c_, x1, y1, x2, y2 in l_xyxy:
+                        xywh = ((x1 + x2) / 2 / ow, (y1 + y2) / 2 / oh,
+                                (x2 - x1) / ow, (y2 - y1) / oh)
+                        lines.append(" ".join(
+                            f"{v:.6g}" for v in (int(c_), *xywh)))
+                with open(os.path.join(save_txt_dir, stem + ".txt"),
+                          "w") as fh:
+                    fh.write("\n".join(lines) + ("\n" if lines else ""))
             if cm is not None:
                 cm.process_batch(d, l_xyxy)
             correct = match_predictions(d, l_xyxy, iouv)

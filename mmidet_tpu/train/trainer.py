@@ -92,6 +92,18 @@ class TrainConfig:
     artifact_alias: str = "latest"  # dataset artifact alias to pull
     #                                 (ref --artifact_alias)
     artifact_project: str = "mmidet_tpu"
+    label_smoothing: float | None = None  # BCE target smoothing eps
+    #                                       (ref --label-smoothing; None =
+    #                                       use the hyp-file value)
+    cache_images: bool = False   # RAM-cache decoded images after first
+    #                              epoch (ref --cache-images)
+    quad: bool = False           # groups of 4 -> one 2x-size sample
+    #                              (ref --quad / collate_fn4)
+    bucket: str = ""             # gsutil bucket for results upload
+    #                              (ref --bucket, train.py:860-861)
+    entity: str = ""             # W&B entity (ref --entity)
+    bbox_interval: int = -1      # every N epochs, dump annotated val
+    #                              images (+W&B media) (ref --bbox_interval)
 
 
 DEFAULT_HYP = {
@@ -229,6 +241,8 @@ def train(cfg: TrainConfig) -> dict:
         workdir = cfg.workdir
     else:
         workdir = increment_path(cfg.workdir, cfg.exist_ok)
+    if cfg.label_smoothing is not None:  # CLI override (ref opt-level flag)
+        hyp["label_smoothing"] = float(cfg.label_smoothing)
     os.makedirs(workdir, exist_ok=True)
     with open(os.path.join(workdir, "hyp.yaml"), "w") as fh:
         yaml.safe_dump(hyp, fh)
@@ -260,7 +274,8 @@ def train(cfg: TrainConfig) -> dict:
 
     train_ds = PairedDataset(data["train_rgb"], data["train_ir"],
                              nc=None if cfg.single_cls else nc,
-                             cache_dir=workdir)
+                             cache_dir=workdir,
+                             cache_images=cfg.cache_images)
     if cfg.single_cls:  # ref --single-cls: all labels -> class 0
         for lab in train_ds.labels:
             if len(lab):
@@ -336,6 +351,12 @@ def train(cfg: TrainConfig) -> dict:
         fliplr=hyp["fliplr"], mosaic=hyp["mosaic"])
     augment = jax.jit(make_batch_augment(img_size, aug_hyp, cfg.max_labels,
                                          mosaic=use_mosaic))
+    quad_fn = None
+    if cfg.quad:
+        from mmidet_tpu.data.augment import quad_batch
+        if cfg.batch_size % 4:
+            raise ValueError("--quad needs --batch-size divisible by 4")
+        quad_fn = jax.jit(quad_batch)
 
     sched = ScheduleConfig(
         lr0=hyp["lr0"], lrf=hyp["lrf"], momentum=hyp["momentum"],
@@ -400,7 +421,8 @@ def train(cfg: TrainConfig) -> dict:
     from mmidet_tpu.utils.logger import MetricLogger
     mlog = MetricLogger(workdir, use_wandb=cfg.use_wandb,
                         run_name=os.path.basename(workdir),
-                        config=dataclasses.asdict(cfg))
+                        config=dataclasses.asdict(cfg),
+                        entity=cfg.entity or None)
     try:
         from mmidet_tpu.utils.plots import plot_labels
         plot_labels(train_ds.labels, nc, workdir)
@@ -429,6 +451,10 @@ def train(cfg: TrainConfig) -> dict:
                 if im_key in jb:
                     jb[im_key] = jb[im_key].astype(jnp.float32) / 255.0
             jb = augment(jb, k_aug)
+            if quad_fn is not None:
+                rng, k_q = jax.random.split(rng)
+                jb = quad_fn(jb["rgb"], jb["ir"], jb["targets"],
+                             jb["mask"], k_q)
             if cfg.multi_scale:
                 # ref train.py:778-783: random /gs size in [0.5, 1.5]x,
                 # bilinear batch resize; labels are normalized -> unchanged.
@@ -487,8 +513,18 @@ def train(cfg: TrainConfig) -> dict:
             # artifact, wandb_utils.py:265-306)
             pred_json = os.path.join(workdir, "val_predictions.json") \
                 if (cfg.log_artifacts and art_backend is not None) else None
+            media_dir = None
+            if cfg.bbox_interval > 0 and \
+                    ((epoch + 1) % cfg.bbox_interval == 0 or final):
+                media_dir = os.path.join(workdir, "media", f"epoch{epoch}")
             res = evaluate(eval_model, ema_vars, val_loader_fn(), nc,
-                           names=names, save_json=pred_json)
+                           names=names, save_json=pred_json,
+                           media_dir=media_dir)
+            if media_dir is not None and os.path.isdir(media_dir):
+                import glob as _glob
+                mlog.log_media_files(
+                    epoch, "val/bbox",
+                    sorted(_glob.glob(os.path.join(media_dir, "*.jpg"))))
             fit = float(fitness(res.fitness_vector())[0])
             is_best = fit > best_fit
             if is_best:
@@ -531,6 +567,9 @@ def train(cfg: TrainConfig) -> dict:
                     f"box {mloss[0]:.4f} obj {mloss[1]:.4f} "
                     f"cls {mloss[2]:.4f} P {res.mp:.4f} R {res.mr:.4f} "
                     f"mAP50 {res.map50:.4f} mAP {res.map:.4f}\n")
+            if cfg.bucket:  # per-epoch results upload (ref train.py:860-861)
+                from mmidet_tpu.utils.general import gsutil_upload
+                gsutil_upload(cfg.bucket, results_path)
             mlog.log_metrics(epoch, {
                 "train/box": mloss[0], "train/obj": mloss[1],
                 "train/cls": mloss[2], "val/P": res.mp, "val/R": res.mr,

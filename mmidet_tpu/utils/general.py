@@ -134,3 +134,21 @@ def apply_classifier(detections: np.ndarray, classify_fn, img: np.ndarray,
     labels = np.asarray(classify_fn(np.stack(crops)))
     keep = labels == detections[:, 5].astype(labels.dtype)
     return detections[keep]
+
+
+def gsutil_upload(bucket: str, *paths: str) -> bool:
+    """Best-effort ``gsutil cp <paths> gs://<bucket>/`` (reference
+    ``--bucket`` uploads, train.py:860-861 and evolve's print_mutation).
+    Non-fatal: returns False when gsutil is unavailable or the copy
+    fails."""
+    import shutil
+    import subprocess
+    if not bucket or shutil.which("gsutil") is None:
+        return False
+    dest = bucket if bucket.startswith("gs://") else f"gs://{bucket}"
+    try:
+        return subprocess.run(
+            ["gsutil", "cp", *[str(p) for p in paths], dest.rstrip("/") + "/"],
+            capture_output=True, timeout=300).returncode == 0
+    except Exception:
+        return False

@@ -19,7 +19,7 @@ class MetricLogger:
 
     def __init__(self, log_dir: str, use_wandb: bool = False,
                  project: str = "mmidet_tpu", run_name: str | None = None,
-                 config: dict | None = None):
+                 config: dict | None = None, entity: str | None = None):
         os.makedirs(log_dir, exist_ok=True)
         self.log_dir = log_dir
         self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
@@ -34,6 +34,7 @@ class MetricLogger:
             try:
                 import wandb
                 self._wandb = wandb.init(project=project, name=run_name,
+                                         entity=entity or None,
                                          config=config or {},
                                          dir=log_dir)
             except Exception:
@@ -53,6 +54,18 @@ class MetricLogger:
     def log_image(self, step: int, tag: str, image):
         if self._tb is not None:
             self._tb.image(tag, image, step)
+
+    def log_media_files(self, step: int, tag: str, paths):
+        """Log annotated-image files (ref W&B bbox media panels,
+        --bbox_interval): wandb.Image list when wandb is live; the files
+        themselves are the offline record."""
+        if self._wandb is not None:
+            try:
+                import wandb
+                self._wandb.log(
+                    {tag: [wandb.Image(str(p)) for p in paths]}, step=step)
+            except Exception:
+                pass
 
     def close(self):
         self._jsonl.close()

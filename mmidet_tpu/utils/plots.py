@@ -40,15 +40,21 @@ def plot_one_box(box, img: np.ndarray, color=None, label: str | None = None,
     im = Image.fromarray(img)
     d = ImageDraw.Draw(im)
     color = color or colors(0)
+    h, w = img.shape[:2]
+    # clamp to the canvas: partially off-image boxes (common for raw
+    # low-conf predictions) otherwise produce inverted PIL rectangles
     x1, y1, x2, y2 = (int(v) for v in box)
+    x1, x2 = sorted((max(0, min(x1, w - 1)), max(0, min(x2, w - 1))))
+    y1, y2 = sorted((max(0, min(y1, h - 1)), max(0, min(y2, h - 1))))
     d.rectangle([x1, y1, x2, y2], outline=tuple(color),
                 width=line_thickness)
     if label:
-        tw = d.textlength(label)
+        tw = int(d.textlength(label))
         th = 11
-        d.rectangle([x1, max(y1 - th - 2, 0), x1 + tw + 2, y1],
+        ty = max(y1 - th - 2, 0)
+        d.rectangle([x1, ty, min(x1 + tw + 2, w - 1), max(y1, ty + 1)],
                     fill=tuple(color))
-        d.text((x1 + 1, max(y1 - th - 2, 0)), label, fill=(255, 255, 255))
+        d.text((x1 + 1, ty), label, fill=(255, 255, 255))
     return np.asarray(im)
 
 
