@@ -173,10 +173,21 @@ class TwoStreamDetector(nn.Module):
                 if self.aux_mode != "off" and fourier:
                     aux["contrastive"] = fusion_losses.contrastive_loss(
                         f_in[0], f_in[1])
+                from mmidet_tpu.nn.fusion_pallas import \
+                    merge_kernel_supported
+                # merge kernel only when the aux losses are off: the
+                # pattern/SSIM terms need the unmerged fusion outputs
+                merge = (self.merge_fusion_kernel and not train
+                         and self.aux_mode == "off"
+                         and merge_kernel_supported(
+                             inp[0].shape[1], inp[0].shape[2], rl.args[0]))
                 r, i_, pt = cls(rl.args[0], n_layer=self.spec.fusion_layers,
                                 use_pallas=self.pallas_fusion,
+                                merge_kernel=merge,
                                 dtype=dt, name=name)(inp[0], inp[1], train)
                 x = [r, i_]
+                if merge:
+                    premerged.add(rl.index)
                 if self.aux_mode != "off":
                     aux["pattern"] = pt
                     if fourier:

@@ -333,6 +333,50 @@ class _PatternGate(nn.Module):
         return self.conv2(mask) * feat
 
 
+class _PGateP(nn.Module):
+    """Param-mirror of _PatternGate ({conv1,conv2}/kernel, 1x1 no-bias)."""
+    d: int
+
+    @nn.compact
+    def __call__(self):
+        class _K(nn.Module):
+            shape: tuple
+
+            @nn.compact
+            def __call__(s):
+                return s.param("kernel", conv_kernel_init, s.shape,
+                               jnp.float32)
+        k1 = _K((1, 1, self.d, 8), name="conv1")()
+        k2 = _K((1, 1, 8, self.d), name="conv2")()
+        return k1.reshape(self.d, 8), k2.reshape(8, self.d)
+
+
+def _gated_merge(mod, rgb, ir, train):
+    """Shared GPT1/GPT1_fourier merge-kernel path: whole pool -> pattern
+    gate -> transformer -> upsample -> Add2 sequence as ONE Pallas kernel
+    (deploy only — the fourier branch and the separation loss are
+    training-time-only dataflow, so the kernel path returns a zero
+    pattern loss).  Returns None when unsupported (caller falls back)."""
+    from mmidet_tpu.nn.fusion_pallas import (fused_gpt_merge,
+                                             merge_kernel_supported)
+    from mmidet_tpu.nn.transformer_pallas import stack_block_params
+    h, w = rgb.shape[1], rgb.shape[2]
+    if train or not (mod.merge_kernel
+                     and merge_kernel_supported(h, w, mod.d_model)):
+        return None
+    g1, g2 = _PGateP(mod.d_model, name="pattern")()
+    pos, blocks, lnf = _TransP(mod.d_model, mod.n_layer, mod.block_exp,
+                               name="trans")()
+    stacked = stack_block_params(blocks)
+    interp = jax.devices()[0].platform != "tpu"
+    ro, io = fused_gpt_merge(
+        rgb.astype(jnp.bfloat16), ir.astype(jnp.bfloat16), stacked,
+        pos, lnf["scale"], lnf["bias"], num_heads=mod.num_heads,
+        interpret=interp, gate={"g1": g1, "g2": g2})
+    return (ro.astype(mod.dtype), io.astype(mod.dtype),
+            jnp.zeros((), mod.dtype))
+
+
 def _mask_rows(m: jnp.ndarray) -> jnp.ndarray:
     """(B,gh,gw,8) NHWC mask -> (B*8, gh*gw) rows in the reference's
     ``view(-1, h*w)`` NCHW row order (batch-major, then mask channel)."""
@@ -342,18 +386,27 @@ def _mask_rows(m: jnp.ndarray) -> jnp.ndarray:
 
 class PatternFusion(nn.Module):
     """Pattern-attention fusion (no fourier branch). Ref: GPT1,
-    common.py:142-296.  Returns (rgb_out, ir_out, pattern_loss)."""
+    common.py:142-296.  Returns (rgb_out, ir_out, pattern_loss).
+
+    ``merge_kernel=True`` (deploy): the pool -> pattern gate -> transformer
+    -> upsample -> Add2 sequence runs as ONE Pallas kernel and the returned
+    pair is the MERGED streams (pattern loss returned as 0 — it is
+    training-only dataflow); param tree unchanged."""
     d_model: int
     num_heads: int = 8
     block_exp: int = 4
     n_layer: int = 8
     grid: tuple[int, int] = (8, 8)
     use_pallas: bool = False
+    merge_kernel: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, rgb, ir, train: bool = False):
         h, w = rgb.shape[1], rgb.shape[2]
+        merged = _gated_merge(self, rgb, ir, train)
+        if merged is not None:
+            return merged
         rgb_p = adaptive_avg_pool(rgb, self.grid)
         ir_p = adaptive_avg_pool(ir, self.grid)
         pg = _PatternGate(self.d_model, dtype=self.dtype, name="pattern")
@@ -379,6 +432,11 @@ class FourierPatternFusion(nn.Module):
     The high-frequency branch contributes only to the separation loss (its
     masks' first ``B`` rows are appended, common.py:487-489); the gating path
     uses the plain pooled-feature masks, exactly as the reference.
+
+    ``merge_kernel=True`` (deploy): pool -> gate -> transformer -> upsample
+    -> Add2 as ONE Pallas kernel, merged streams returned, pattern loss 0
+    (the fourier branch feeds ONLY the separation loss, so inference
+    dataflow is identical to GPT1's); param tree unchanged.
     """
     d_model: int
     num_heads: int = 8
@@ -386,12 +444,16 @@ class FourierPatternFusion(nn.Module):
     n_layer: int = 8
     grid: tuple[int, int] = (8, 8)
     use_pallas: bool = False
+    merge_kernel: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, rgb, ir, train: bool = False):
         h, w = rgb.shape[1], rgb.shape[2]
         b = rgb.shape[0]
+        merged = _gated_merge(self, rgb, ir, train)
+        if merged is not None:
+            return merged
         rgb_p = adaptive_avg_pool(rgb, self.grid)
         ir_p = adaptive_avg_pool(ir, self.grid)
 

@@ -120,12 +120,27 @@ _WNAMES = ["ln1_scale", "ln1_bias", "wq", "wk", "wv", "bq", "bk", "bv",
            "wo", "bo", "ln2_scale", "ln2_bias", "w1", "b1", "w2", "b2"]
 
 
+def _apply_gate(tok, g1, g2):
+    """Pattern gate (GPT1/GPT1_fourier deploy form): tok <- conv2(sigmoid(
+    conv1(tok))) * tok.  The 1x1 convs are lane-padded matmuls: g1 is
+    (C, 128) with the real 8 mask channels in cols 0..7 (padded cols give
+    sigmoid(0)=0.5), g2 is (128, C) with zero rows 8..127 (so the padding
+    contributes nothing) — exact, and avoids 8-lane arrays in VMEM."""
+    m = jax.nn.sigmoid(jnp.dot(tok, g1[:],
+                               preferred_element_type=jnp.float32))
+    gv = jnp.dot(m.astype(jnp.bfloat16), g2[:],
+                 preferred_element_type=jnp.float32)
+    return (gv * tok.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
 def _kernel(rgb_hbm, ir_hbm, pos, lnf_s, lnf_b, *wops_and_outs,
-            h, w, tb, num_heads, n_layer):
+            h, w, tb, num_heads, n_layer, gated=False):
+    ng = 2 if gated else 0
+    gate = wops_and_outs[:ng]
     n_w = len(_WNAMES)
-    wrefs = dict(zip(_WNAMES, wops_and_outs[:n_w]))
-    rgb_out, ir_out = wops_and_outs[n_w:n_w + 2]
-    rest = wops_and_outs[n_w + 2:]
+    wrefs = dict(zip(_WNAMES, wops_and_outs[ng:ng + n_w]))
+    rgb_out, ir_out = wops_and_outs[ng + n_w:ng + n_w + 2]
+    rest = wops_and_outs[ng + n_w + 2:]
     bufs, sem = rest[:-1], rest[-1]
     rgb_v = bufs[:tb]
     ir_v = bufs[tb:]
@@ -153,6 +168,8 @@ def _kernel(rgb_hbm, ir_hbm, pos, lnf_s, lnf_b, *wops_and_outs,
         toks.append(_pool8(rgb_v[j][:].reshape(h, w, -1), h, w))  # (64, C)
         toks.append(_pool8(ir_v[j][:].reshape(h, w, -1), h, w))
     tok = jnp.concatenate(toks, axis=0)               # (tb*128, C)
+    if gated:  # pattern gate on the pooled tokens, before pos-emb
+        tok = _apply_gate(tok.astype(jnp.bfloat16), gate[0], gate[1])
     posb = jnp.concatenate([pos[0]] * tb, axis=0)
     tok = (tok.astype(jnp.float32) + posb.astype(jnp.float32)
            ).astype(jnp.bfloat16)
@@ -177,7 +194,7 @@ def _kernel(rgb_hbm, ir_hbm, pos, lnf_s, lnf_b, *wops_and_outs,
 
 
 def _kernel_stream(rgb_hbm, ir_hbm, pos, lnf_s, lnf_b, *refs,
-                   h, w, tb, num_heads, n_layer):
+                   h, w, tb, num_heads, n_layer, gated=False):
     """Layer-major streaming variant: grid = (L, batch_tiles).
 
     The resident-weight kernel (_kernel) holds all L layers' matrices in
@@ -190,11 +207,13 @@ def _kernel_stream(rgb_hbm, ir_hbm, pos, lnf_s, lnf_b, *refs,
     at l==0, merge at l==L-1) and out once — still 2 fewer full-map HBM
     round-trips than the XLA pool->kernel->upsample->merge glue.
     """
+    ng = 2 if gated else 0
+    gate = refs[:ng]
     n_w = len(_WNAMES)
-    wrefs = refs[:n_w]
-    rgb_out, ir_out = refs[n_w:n_w + 2]
-    act = refs[n_w + 2]
-    bufs = refs[n_w + 3:-1]
+    wrefs = refs[ng:ng + n_w]
+    rgb_out, ir_out = refs[ng + n_w:ng + n_w + 2]
+    act = refs[ng + n_w + 2]
+    bufs = refs[ng + n_w + 3:-1]
     sem = refs[-1]
     rgb_v, ir_v = bufs[:tb], bufs[tb:]
     l = pl.program_id(0)
@@ -221,6 +240,8 @@ def _kernel_stream(rgb_hbm, ir_hbm, pos, lnf_s, lnf_b, *refs,
             toks.append(_pool8(rgb_v[j][:].reshape(h, w, -1), h, w))
             toks.append(_pool8(ir_v[j][:].reshape(h, w, -1), h, w))
         tok = jnp.concatenate(toks, axis=0)           # (tb*128, C)
+        if gated:
+            tok = _apply_gate(tok.astype(jnp.bfloat16), gate[0], gate[1])
         posb = jnp.concatenate([pos[0]] * tb, axis=0)
         tok = (tok.astype(jnp.float32) + posb.astype(jnp.float32)
                ).astype(jnp.bfloat16)
@@ -277,12 +298,19 @@ def merge_kernel_supported(h: int, w: int, c: int) -> bool:
 def fused_gpt_merge(rgb: jnp.ndarray, ir: jnp.ndarray, stacked: dict,
                     pos_emb: jnp.ndarray, lnf_scale: jnp.ndarray,
                     lnf_bias: jnp.ndarray, num_heads: int = 8,
-                    interpret: bool = False):
+                    interpret: bool = False, gate: dict | None = None):
     """rgb/ir: (B, H, W, C) bf16 streams.  Returns (rgb + up(trans_rgb),
     ir + up(trans_ir)) — the GPT fusion outputs already merged into the
-    streams (the two Add2 layers' result)."""
+    streams (the two Add2 layers' result).
+
+    ``gate``: optional pattern-gate weights {"g1": (C, 8), "g2": (8, C)}
+    (the GPT1/GPT1_fourier 1x1 conv1/conv2, common.py:165-168/323-326) —
+    applied to the pooled tokens before the pos-emb, which is exactly the
+    deploy dataflow of those modules (the fourier branch feeds only the
+    training-time separation loss)."""
     b, h, w, c = rgb.shape
     L = stacked["wq"].shape[0]
+    gated = gate is not None
 
     # layer-major weight streaming whenever the width is large enough that
     # (a) the full-batch token scratch is lane-aligned (c >= 256, as the
@@ -308,6 +336,16 @@ def fused_gpt_merge(rgb: jnp.ndarray, ir: jnp.ndarray, stacked: dict,
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM)]
+    if gated:
+        # lane-pad the tiny 1x1 convs: g1 -> (C, 128) zero cols (sigmoid
+        # gives 0.5 there), g2 -> (128, C) zero rows (0.5 x 0 = 0) — exact
+        g1 = jnp.zeros((c, 128), jnp.bfloat16).at[:, :8].set(
+            gate["g1"].astype(jnp.bfloat16))
+        g2 = jnp.zeros((128, c), jnp.bfloat16).at[:8].set(
+            gate["g2"].astype(jnp.bfloat16))
+        ops += [g1, g2]
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM),
+                     pl.BlockSpec(memory_space=pltpu.VMEM)]
     for nm in _WNAMES:
         arr = stacked[nm]
         wdt = jnp.bfloat16 if arr.ndim == 3 else jnp.float32
@@ -330,13 +368,15 @@ def fused_gpt_merge(rgb: jnp.ndarray, ir: jnp.ndarray, stacked: dict,
             tb -= 1
         grid = (L, b // tb)
         kernel = functools.partial(_kernel_stream, h=h, w=w, tb=tb,
-                                   num_heads=num_heads, n_layer=L)
+                                   num_heads=num_heads, n_layer=L,
+                                   gated=gated)
         scratch = [pltpu.VMEM((b, 128, c), jnp.bfloat16)]
     else:
         tb = _tile_b(b, h, w, c)
         grid = (b // tb,)
         kernel = functools.partial(_kernel, h=h, w=w, tb=tb,
-                                   num_heads=num_heads, n_layer=L)
+                                   num_heads=num_heads, n_layer=L,
+                                   gated=gated)
         scratch = []
     scratch += [pltpu.VMEM((h * w, c), jnp.bfloat16)
                 for _ in range(2 * tb)]

@@ -196,3 +196,43 @@ def test_infer_cache_is_bounded():
     finally:
         ev._INFER_CACHE.clear()
         ev._INFER_CACHE.update(saved)
+
+
+def test_evaluator_save_txt_and_media(tmp_path):
+    """--save-txt/--save-conf/--save-hybrid + media dump contracts: one txt
+    per image, prediction rows are cls + 4 normalized coords (+conf),
+    hybrid appends the GT rows, media dir gets annotated jpgs."""
+    import jax.numpy as jnp
+    from mmidet_tpu.data.datasets import PairedDataset, load_data_yaml
+    from mmidet_tpu.data.loader import PairedLoader
+    from mmidet_tpu.data.synthetic import make_synthetic_pair_dataset
+    from mmidet_tpu.eval.evaluator import evaluate
+    from mmidet_tpu.models.detector import TwoStreamDetector
+    from mmidet_tpu.models.zoo import two_stream_spec
+
+    import os
+
+    yml = make_synthetic_pair_dataset(str(tmp_path / "d"), n=4, img=96)
+    data = load_data_yaml(yml)
+    ds = PairedDataset(data["val_rgb"], data["val_ir"], nc=2)
+    spec = two_stream_spec("s", "add", nc=2)
+    model = TwoStreamDetector(spec=spec, aux_mode="off")
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)),
+                   train=False)
+    loader = PairedLoader(ds, 2, 64, drop_last=False, scaleup=False)
+    txt_dir = str(tmp_path / "labels")
+    media = str(tmp_path / "media")
+    evaluate(model, v, loader, 2, conf_thres=0.3, names=["a", "b"],
+             save_txt_dir=txt_dir, save_conf=True, save_hybrid=True,
+             media_dir=media, media_max=2)
+    txts = sorted(os.listdir(txt_dir))
+    assert len(txts) == 4
+    rows = [ln.split() for ln in
+            open(os.path.join(txt_dir, txts[0])).read().splitlines() if ln]
+    # every image has >= 1 GT row (hybrid), GT rows have 5 cols, pred 6
+    assert rows and {len(r) for r in rows} <= {5, 6}
+    assert any(len(r) == 5 for r in rows)  # the appended GT
+    for r in rows:  # normalized coords
+        assert all(-0.01 <= float(x) <= 1.5 for x in r[1:5])
+    assert len(os.listdir(media)) == 2

@@ -93,3 +93,60 @@ def test_detector_premerge_equivalence():
     p1 = fusedm.apply(v, rgb, ir, train=False)["pred"]
     np.testing.assert_allclose(np.asarray(p0), np.asarray(p1),
                                rtol=0.05, atol=0.05)
+
+
+@pytest.mark.parametrize("cls_name,d,hw,b", [
+    ("GPT1", 64, 40, 2),          # resident-weight grid
+    ("GPT1_fourier", 128, 24, 2),  # resident
+    ("GPT1_fourier", 256, 16, 3),  # layer-major streaming grid
+])
+def test_gated_merge_kernel_matches_xla(cls_name, d, hw, b):
+    """GPT1/GPT1_fourier merge kernel (pool -> pattern gate -> transformer
+    -> upsample -> Add2 in one Pallas call) vs the XLA module + Add2.  At
+    inference the fourier branch only feeds the separation loss, so the
+    gated kernel is the exact deploy dataflow for BOTH modules."""
+    from mmidet_tpu.nn.fusion import FourierPatternFusion, PatternFusion
+
+    cls = PatternFusion if cls_name == "GPT1" else FourierPatternFusion
+    xla = cls(d, n_layer=2, dtype=jnp.float32)
+    ker = cls(d, n_layer=2, merge_kernel=True, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    rgb = jax.random.normal(rng, (b, hw, hw, d), jnp.float32)
+    ir = rgb * 0.3 + 0.2
+    v = xla.init({"params": rng}, rgb[:1], ir[:1], train=False)
+    v = {"params": _rand_tree(v["params"], jax.random.PRNGKey(7))}
+    v_k = ker.init({"params": rng}, rgb[:1], ir[:1], train=False)
+    assert (jax.tree_util.tree_structure(v["params"])
+            == jax.tree_util.tree_structure(v_k["params"]))
+
+    r0, i0, _pt = xla.apply(v, rgb, ir, train=False)
+    r0, i0 = rgb + r0, ir + i0          # the Add2 merges
+    r1, i1, pt = ker.apply(v, rgb, ir, train=False)
+    assert float(pt) == 0.0
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(r1, np.float32),
+                               rtol=0.06, atol=0.06)
+    np.testing.assert_allclose(np.asarray(i0), np.asarray(i1, np.float32),
+                               rtol=0.06, atol=0.06)
+
+
+def test_detector_fourier_premerge_equivalence():
+    """Flagship-grammar detector (GPT1_fourier at P2 + GPT at P3/P4/P5)
+    with the merge kernel ON matches the plain XLA detector."""
+    from mmidet_tpu.models.detector import TwoStreamDetector
+    from mmidet_tpu.models.zoo import two_stream_spec
+
+    # fourier grammar requires unscaled GPT1* width -> l-scale (the only
+    # scale the reference ships it at); tiny img keeps CPU interpret cheap
+    spec = two_stream_spec("l", "fourier", nc=2, fusion_layers=2)
+    plain = TwoStreamDetector(spec=spec, aux_mode="off", use_cem=False)
+    fusedm = TwoStreamDetector(spec=spec, aux_mode="off", use_cem=False,
+                               pallas_fusion=True,
+                               merge_fusion_kernel=True)
+    rng = jax.random.PRNGKey(0)
+    rgb = jax.random.uniform(rng, (1, 64, 64, 3), jnp.float32)
+    ir = 1.0 - rgb
+    v = plain.init({"params": rng}, rgb, ir, train=False)
+    p0 = plain.apply(v, rgb, ir, train=False)["pred"]
+    p1 = fusedm.apply(v, rgb, ir, train=False)["pred"]
+    np.testing.assert_allclose(np.asarray(p0), np.asarray(p1),
+                               rtol=0.05, atol=0.05)

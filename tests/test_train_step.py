@@ -271,3 +271,30 @@ def test_shard_inference_matches_single_device():
     got = run(batch["rgb"], batch["ir"])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_dp8_inference_matches_single_device():
+    """The deploy forward sharded dp=8 equals the single-device forward —
+    the zero-collective inference scaling claim (PERF.md 'Multi-chip
+    scaling'): params replicated, batch sharded, outputs identical."""
+    mesh = make_mesh(n_data=8, n_model=1)
+    model, batch = _setup(batch=8)
+    infer = TwoStreamDetector(spec=model.spec, aux_mode="off", fused=False)
+    v = infer.init({"params": jax.random.PRNGKey(0)}, batch["rgb"],
+                   batch["ir"], train=False)
+
+    fwd = jax.jit(lambda vv, r, i: infer.apply(vv, r, i, train=False)["pred"])
+    ref = np.asarray(fwd(v, batch["rgb"], batch["ir"]))
+
+    bsh = batch_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+    v_sh = jax.device_put(v, rep)
+    r_sh = jax.device_put(batch["rgb"], bsh)
+    i_sh = jax.device_put(batch["ir"], bsh)
+    with mesh:
+        out = fwd(v_sh, r_sh, i_sh)
+        jax.block_until_ready(out)
+        # batch stays sharded end-to-end: one image per device
+        rows = {sh.data.shape[0] for sh in out.addressable_shards}
+        assert rows == {1}
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
