@@ -296,3 +296,74 @@ def test_quad_label_smoothing_bbox_interval_train(data_yaml, tmp_path):
     # bbox media dumped for the (final) eval epoch
     media = os.path.join(out["workdir"], "media", "epoch0")
     assert os.path.isdir(media) and os.listdir(media)
+
+
+def test_quad_batch_matches_reference_collate_fn4():
+    """Direct cross-implementation parity: quad_batch vs the live
+    reference LoadMultiModalImagesAndLabels.collate_fn4 (datasets.py) on
+    both branches (2x upscale and 2x2 mosaic), images and labels."""
+    import sys
+    torch = pytest.importorskip("torch")
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference checkout not available")
+    sys.path.insert(0, "/root/reference")
+    import types
+    if "torchvision" not in sys.modules:  # not installed in this image
+        tv = types.ModuleType("torchvision")
+        for sub in ("ops", "models", "utils", "transforms"):
+            mod = types.ModuleType(f"torchvision.{sub}")
+            setattr(tv, sub, mod)
+            sys.modules[f"torchvision.{sub}"] = mod
+        tv.__version__ = "0.0-stub"
+        sys.modules["torchvision"] = tv
+    import utils.datasets as rds
+
+    import jax.numpy as jnp
+    from mmidet_tpu.data.augment import quad_batch
+
+    s, t = 16, 2
+    rng = np.random.default_rng(5)
+    imgs = rng.random((4, s, s, 3)).astype(np.float32)
+    labs = np.zeros((4, t, 5), np.float32)
+    mask = np.zeros((4, t), bool)
+    for i in range(4):
+        labs[i, 0] = [i % 2, 0.3 + 0.1 * i, 0.6 - 0.1 * i, 0.2, 0.25]
+        mask[i, 0] = True
+
+    # reference batch: (img CHW tensor, label (n,6) with img-idx col, ...)
+    batch = []
+    for i in range(4):
+        batch.append((torch.from_numpy(imgs[i].transpose(2, 0, 1)),
+                      torch.from_numpy(np.concatenate(
+                          [np.zeros((1, 1), np.float32), labs[i, :1]],
+                          axis=1)),
+                      f"p{i}.jpg", ((s, s), ((1.0, 1.0), (0, 0)))))
+
+    # our branch selector: find keys that take each branch for the group
+    def key_for(up: bool):
+        for seed in range(100):
+            k = jax.random.PRNGKey(seed)
+            if bool(jax.random.uniform(k, (1,))[0] < 0.5) == up:
+                return k
+        raise AssertionError
+
+    fn = rds.LoadMultiModalImagesAndLabels.collate_fn4
+    old_random = rds.random.random
+    try:
+        for up in (True, False):
+            rds.random.random = (lambda: 0.1) if up else (lambda: 0.9)
+            rimg, rlab, _, _ = fn(batch)
+            ours = quad_batch(jnp.asarray(imgs), jnp.asarray(imgs) * 0.5,
+                              jnp.asarray(labs), jnp.asarray(mask),
+                              key_for(up))
+            oimg = np.asarray(ours["rgb"][0])
+            np.testing.assert_allclose(
+                oimg, rimg[0].numpy().transpose(1, 2, 0),
+                rtol=2e-5, atol=2e-5)
+            got = {tuple(np.round(r, 5)) for r, v in
+                   zip(np.asarray(ours["targets"][0]),
+                       np.asarray(ours["mask"][0])) if v}
+            exp = {tuple(np.round(r, 5)) for r in rlab[:, 1:].numpy()}
+            assert got == exp, (got, exp)
+    finally:
+        rds.random.random = old_random

@@ -53,12 +53,15 @@ def main():
     ir = jax.random.uniform(rng, (batch, img, img, 3), jnp.bfloat16)
     small = jnp.zeros((1, 64, 64, 3), jnp.float32)
 
-    def build(fusion="gpt4", use_cem=True, pallas=False):
+    def build(fusion="gpt4", use_cem=True, pallas=False, merge=False,
+              pallas_cem=False):
         spec = two_stream_spec(scale, fusion, nc=6)
         base = TwoStreamDetector(spec=spec, aux_mode="off", use_cem=use_cem,
                                  dtype=jnp.bfloat16)
         model = TwoStreamDetector(spec=spec, aux_mode="off", use_cem=use_cem,
                                   fused=True, pallas_fusion=pallas,
+                                  merge_fusion_kernel=merge,
+                                  pallas_cem=pallas_cem,
                                   dtype=jnp.bfloat16)
         v = fold_batchnorm(base.init({"params": jax.random.PRNGKey(0)},
                                      small, small, train=False))
@@ -76,6 +79,16 @@ def main():
         "fourier": lambda: build("fourier", True),
         "fourier_pallas": lambda: build("fourier", True, pallas=True),
         "fourier_no_cem": lambda: build("fourier", False, pallas=True),
+        # round-2 kernel candidates (model-level verdicts):
+        "merge": lambda: build("gpt4", True, pallas=True, merge=True),
+        "merge_cem": lambda: build("gpt4", True, pallas=True, merge=True,
+                                   pallas_cem=True),
+        "cem_kernel": lambda: build("gpt4", True, pallas=True,
+                                    pallas_cem=True),
+        "fourier_merge": lambda: build("fourier", True, pallas=True,
+                                       merge=True),
+        "fourier_merge_cem": lambda: build("fourier", True, pallas=True,
+                                           merge=True, pallas_cem=True),
     }
     sel = None
     if "--variants" in sys.argv:
