@@ -3,14 +3,24 @@
 Functional parity surface: reference ``utils/flask_rest_api/restapi.py:16-29``
 — a POST endpoint taking an image and returning detections as JSON records.
 Extended for two streams: POST /v1/detect with multipart or JSON-base64
-fields ``rgb`` and ``ir``."""
+fields ``rgb`` and ``ir``.
+
+Production path (``BatchingService``): concurrent requests are micro-batched
+— a dispatcher thread collects up to ``max_batch`` requests (or ``max_wait_ms``)
+and runs ONE fixed-shape jit call (padded, so there is exactly one XLA
+program), under a data-axis device mesh when more than one accelerator is
+attached (params replicated, batch sharded — the deploy forward has zero
+cross-device collectives, so throughput scales with the mesh)."""
 
 from __future__ import annotations
 
 import base64
 import io
 import json
-from http.server import BaseHTTPRequestHandler, HTTPServer
+import queue
+import threading
+from http.server import (BaseHTTPRequestHandler, HTTPServer,
+                         ThreadingHTTPServer)
 
 import jax
 import jax.numpy as jnp
@@ -18,6 +28,28 @@ import numpy as np
 
 from mmidet_tpu.data.datasets import letterbox_np
 from mmidet_tpu.ops.nms import non_max_suppression
+
+
+def _preprocess(img_bytes: bytes, s: int):
+    """decode -> letterbox; returns (lb_uint8, ratio, (dw, dh), orig)."""
+    from PIL import Image
+    img0 = np.asarray(Image.open(io.BytesIO(img_bytes)).convert("RGB"))
+    lb, r, (dw, dh) = letterbox_np(img0, (s, s))
+    return lb, r, (dw, dh)
+
+
+def _records(dets: np.ndarray, valid: np.ndarray, r: float, dw: float,
+             dh: float, names) -> list[dict]:
+    out = []
+    for x1, y1, x2, y2, conf, cls in dets[valid]:
+        out.append({
+            "xmin": float((x1 - dw) / r), "ymin": float((y1 - dh) / r),
+            "xmax": float((x2 - dw) / r), "ymax": float((y2 - dh) / r),
+            "confidence": float(conf),
+            "class": int(cls),
+            "name": names[int(cls)],
+        })
+    return out
 
 
 class DetectionService:
@@ -44,26 +76,121 @@ class DetectionService:
         jax.block_until_ready(self._infer(z, z))
 
     def predict(self, rgb_bytes: bytes, ir_bytes: bytes) -> list[dict]:
-        from PIL import Image
-        rgb0 = np.asarray(Image.open(io.BytesIO(rgb_bytes)).convert("RGB"))
-        ir0 = np.asarray(Image.open(io.BytesIO(ir_bytes)).convert("RGB"))
         s = self.img_size
-        lb_r, r, (dw, dh) = letterbox_np(rgb0, (s, s))
-        lb_i, _, _ = letterbox_np(ir0, (s, s))
+        lb_r, r, (dw, dh) = _preprocess(rgb_bytes, s)
+        lb_i, _, _ = _preprocess(ir_bytes, s)
         dets, valid = self._infer(
             jnp.asarray(lb_r, jnp.float32)[None] / 255.0,
             jnp.asarray(lb_i, jnp.float32)[None] / 255.0)
-        d = np.asarray(dets)[0][np.asarray(valid)[0]]
-        records = []
-        for x1, y1, x2, y2, conf, cls in d:
-            records.append({
-                "xmin": float((x1 - dw) / r), "ymin": float((y1 - dh) / r),
-                "xmax": float((x2 - dw) / r), "ymax": float((y2 - dh) / r),
-                "confidence": float(conf),
-                "class": int(cls),
-                "name": self.names[int(cls)],
-            })
-        return records
+        return _records(np.asarray(dets)[0], np.asarray(valid)[0], r, dw,
+                        dh, self.names)
+
+
+class BatchingService:
+    """Micro-batching front-end: requests from concurrent connections are
+    collected (up to ``max_batch`` or ``max_wait_ms``) and served by ONE
+    fixed-shape jit call.  Short batches are zero-padded — a single XLA
+    program serves every load level.  With >1 device and ``max_batch``
+    divisible by the device count, the batch is sharded over a data-axis
+    mesh and params are replicated (linear multi-chip serving throughput;
+    see tests/test_train_step.py::test_dp8_inference_matches_single)."""
+
+    def __init__(self, model, variables, names, img_size: int = 640,
+                 conf_thres: float = 0.25, iou_thres: float = 0.45,
+                 max_batch: int = 8, max_wait_ms: float = 5.0,
+                 devices=None):
+        self.model = model
+        self.names = names
+        self.img_size = img_size
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1e3
+
+        def infer(variables, rgb, ir):
+            out = model.apply(variables, rgb, ir, train=False)
+            return non_max_suppression(out["pred"].astype(jnp.float32),
+                                       conf_thres=conf_thres,
+                                       iou_thres=iou_thres)
+
+        devices = jax.devices() if devices is None else devices
+        self._bsh = None
+        if len(devices) > 1 and max_batch % len(devices) == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from mmidet_tpu.parallel.mesh import batch_sharding, make_mesh
+            mesh = make_mesh(n_data=len(devices), n_model=1,
+                             devices=devices)
+            self._bsh = batch_sharding(mesh)
+            variables = jax.device_put(variables,
+                                       NamedSharding(mesh, P()))
+        self.variables = variables
+        self._jit = jax.jit(infer)
+        self._q: queue.Queue = queue.Queue()
+        self._thread = threading.Thread(target=self._dispatch, daemon=True)
+        self._thread.start()
+        # warm the one program (full max_batch shape)
+        z = np.zeros((max_batch, img_size, img_size, 3), np.float32)
+        jax.block_until_ready(self._run(z, z))
+
+    def _run(self, rgb: np.ndarray, ir: np.ndarray):
+        r = jnp.asarray(rgb)
+        i = jnp.asarray(ir)
+        if self._bsh is not None:
+            r = jax.device_put(r, self._bsh)
+            i = jax.device_put(i, self._bsh)
+        return self._jit(self.variables, r, i)
+
+    def _dispatch(self):
+        import time
+        while True:
+            first = self._q.get()
+            if first is None:
+                return
+            batch = [first]
+            deadline = time.monotonic() + self.max_wait
+            while len(batch) < self.max_batch:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    item = self._q.get(timeout=left)
+                except queue.Empty:
+                    break
+                if item is None:
+                    return
+                batch.append(item)
+            n = len(batch)
+            s = self.img_size
+            rgb = np.zeros((self.max_batch, s, s, 3), np.float32)
+            ir = np.zeros_like(rgb)
+            for k, (lb_r, lb_i, _meta, _fut) in enumerate(batch):
+                rgb[k] = lb_r
+                ir[k] = lb_i
+            try:
+                dets, valid = self._run(rgb, ir)
+                dets = np.asarray(dets)
+                valid = np.asarray(valid)
+                for k, (_r, _i, meta, fut) in enumerate(batch):
+                    fut["result"] = (dets[k], valid[k])
+                    fut["event"].set()
+            except Exception as e:  # surface to every waiter
+                for _r, _i, _m, fut in batch:
+                    fut["error"] = e
+                    fut["event"].set()
+
+    def predict(self, rgb_bytes: bytes, ir_bytes: bytes) -> list[dict]:
+        s = self.img_size
+        lb_r, r, (dw, dh) = _preprocess(rgb_bytes, s)
+        lb_i, _, _ = _preprocess(ir_bytes, s)
+        fut = {"event": threading.Event()}
+        self._q.put((lb_r.astype(np.float32) / 255.0,
+                     lb_i.astype(np.float32) / 255.0, (r, dw, dh), fut))
+        fut["event"].wait()
+        if "error" in fut:
+            raise fut["error"]
+        dets, valid = fut["result"]
+        return _records(dets, valid, r, dw, dh, self.names)
+
+    def close(self):
+        self._q.put(None)
 
 
 def _parse_multipart(body: bytes, content_type: str) -> dict[str, bytes]:
@@ -119,9 +246,12 @@ def make_handler(service: DetectionService):
     return Handler
 
 
-def serve(service: DetectionService, host: str = "0.0.0.0",
-          port: int = 5000):
-    srv = HTTPServer((host, port), make_handler(service))
+def serve(service, host: str = "0.0.0.0", port: int = 5000,
+          threaded: bool = True):
+    """``threaded=True`` (default) uses ThreadingHTTPServer so concurrent
+    connections overlap — required for BatchingService to actually batch."""
+    cls = ThreadingHTTPServer if threaded else HTTPServer
+    srv = cls((host, port), make_handler(service))
     print(f"serving on http://{host}:{port}/v1/detect")
     srv.serve_forever()
 
@@ -142,16 +272,31 @@ def main(argv=None):
     p.add_argument("--iou-thres", type=float, default=0.45)
     p.add_argument("--host", type=str, default="0.0.0.0")
     p.add_argument("--port", type=int, default=5000)
+    p.add_argument("--max-batch", type=int, default=8,
+                   help="micro-batch size (one fixed-shape XLA program); "
+                        "sharded over all attached devices when divisible")
+    p.add_argument("--max-wait-ms", type=float, default=5.0,
+                   help="max time to hold a request while batching")
+    p.add_argument("--no-batching", action="store_true",
+                   help="single-request mode (the reference's behavior)")
     args = p.parse_args(argv)
 
     from mmidet_tpu.cli.val import load_model_and_vars
     model, variables, spec = load_model_and_vars(
         args.cfg, args.weights, nc=args.nc)
     names = args.names or [str(i) for i in range(args.nc)]
-    service = DetectionService(model, variables, names,
-                               img_size=args.img_size,
-                               conf_thres=args.conf_thres,
-                               iou_thres=args.iou_thres)
+    if args.no_batching:
+        service = DetectionService(model, variables, names,
+                                   img_size=args.img_size,
+                                   conf_thres=args.conf_thres,
+                                   iou_thres=args.iou_thres)
+    else:
+        service = BatchingService(model, variables, names,
+                                  img_size=args.img_size,
+                                  conf_thres=args.conf_thres,
+                                  iou_thres=args.iou_thres,
+                                  max_batch=args.max_batch,
+                                  max_wait_ms=args.max_wait_ms)
     serve(service, args.host, args.port)
 
 

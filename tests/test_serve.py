@@ -88,3 +88,67 @@ def test_bad_payload_and_path(server):
         urllib.request.urlopen(urllib.request.Request(
             server + "/nope", data=b"{}"), timeout=60)
     assert e.value.code == 404
+
+
+@pytest.fixture(scope="module")
+def batch_server():
+    """BatchingService over the ThreadingHTTPServer: micro-batched,
+    dp-sharded over the 8-device virtual CPU mesh (max_batch=8 -> 1
+    image per device)."""
+    from http.server import ThreadingHTTPServer
+    from mmidet_tpu.cli.val import load_model_and_vars
+    from mmidet_tpu.deploy.serve import BatchingService, make_handler
+
+    model, variables, _ = load_model_and_vars("yolov5s_add", "", nc=2,
+                                              use_cem=False)
+    svc = BatchingService(model, variables, ["a", "b"], img_size=32,
+                          conf_thres=1e-4, max_batch=8, max_wait_ms=30.0)
+    assert svc._bsh is not None  # the 8-dev mesh engaged
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_port}", svc
+    srv.shutdown()
+    svc.close()
+
+
+def test_batched_concurrent_requests(batch_server):
+    """N concurrent posts are served in one micro-batch with per-request
+    results identical to the single-request service."""
+    url, svc = batch_server
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 255, (40, 48, 3), np.uint8) for _ in range(6)]
+
+    results = [None] * len(imgs)
+
+    def post(k):
+        payload = json.dumps({"rgb": _b64(imgs[k])}).encode()
+        req = urllib.request.Request(
+            url + "/v1/detect", data=payload,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            results[k] = json.loads(resp.read())
+
+    threads = [threading.Thread(target=post, args=(k,))
+               for k in range(len(imgs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r is not None for r in results)
+
+    # per-request results match a direct (unbatched-path) predict
+    import io as _io
+    from PIL import Image
+
+    def raw(img):
+        buf = _io.BytesIO()
+        Image.fromarray(img).save(buf, "PNG")
+        return buf.getvalue()
+
+    for k, img in enumerate(imgs):
+        direct = svc.predict(raw(img), raw(img))
+        assert len(direct) == len(results[k])
+        if direct:
+            np.testing.assert_allclose(
+                [d["confidence"] for d in direct],
+                [r["confidence"] for r in results[k]], rtol=1e-4)
