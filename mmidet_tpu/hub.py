@@ -59,6 +59,29 @@ class Detections:
             paths.append(p)
         return paths
 
+    def crop(self, save_dir="runs/hub/crops", save=True):
+        """Per-detection crops (ref Detections.crop, common.py:1100-1108):
+        returns the crop arrays; writes them under <save_dir>/<class>/
+        when ``save``."""
+        from mmidet_tpu.utils.general import save_one_box
+        crops = []
+        for i, (img, recs) in enumerate(zip(self.imgs, self.records)):
+            for k, r in enumerate(recs):
+                path = os.path.join(save_dir, r["name"],
+                                    f"image{i}_{k}.jpg")
+                crops.append(save_one_box(
+                    [r["xmin"], r["ymin"], r["xmax"], r["ymax"]], img,
+                    path, save=save))
+        return crops
+
+    def tolist(self):
+        """Per-image Detections list (ref Detections.tolist)."""
+        return [Detections([img], [recs], self.names)
+                for img, recs in zip(self.imgs, self.records)]
+
+    def print(self):
+        print(self.__repr__())
+
     def __repr__(self):
         return (f"Detections({self.n} images, "
                 f"{sum(len(r) for r in self.records)} objects)")

@@ -67,6 +67,14 @@ def test_hub_single_stream(tmp_path):
     assert isinstance(det.pandas()[0], list)
     paths = det.save(str(tmp_path))
     assert os.path.isfile(paths[0])
+    # ref Detections surface: tolist / crop / print
+    per_img = det.tolist()
+    assert len(per_img) == 1 and per_img[0].n == 1
+    crops = det.crop(str(tmp_path / "crops"))
+    assert len(crops) == sum(len(r) for r in det.records)
+    if crops:
+        assert crops[0].ndim == 3
+    det.print()
 
 
 def test_hub_augment_flag(tmp_path):
