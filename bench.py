@@ -44,8 +44,14 @@ PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH_partial.json")
 
 
-def _measure():
-    """Child process: the actual benchmark (requires the real TPU)."""
+def _metric_name(variant: str) -> str:
+    return ("yolov5s_twostream_640_paired_inference" if variant == "gpt4"
+            else f"yolov5s_twostream_{variant}_640_paired_inference")
+
+
+def _measure_variant(variant: str, batch: int, with_nms: bool) -> dict:
+    """Measure one two-stream variant on the real chip; stages the record
+    to BENCH_partial.json as measured and returns it."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -55,18 +61,7 @@ def _measure():
     from mmidet_tpu.nn.fuse import fold_batchnorm
     from mmidet_tpu.ops.nms import non_max_suppression
 
-    platform = jax.devices()[0].platform
-    if platform != "tpu":
-        raise RuntimeError(
-            f"bench requires the real TPU, got platform={platform!r} "
-            "(refusing to report CPU numbers as chip throughput)")
-
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     img = 640
-    # BENCH_VARIANT=add measures the reference's lighter shipped
-    # yolov5s_fusion_add two-stream variant through the same harness
-    # (staged under its own metric name; the headline stays gpt4)
-    variant = os.environ.get("BENCH_VARIANT", "gpt4")
     spec = two_stream_spec("s", variant, nc=6)
     # deploy configuration: bf16, BN folded into convs (fuse_conv_and_bn
     # parity), batch sized to saturate the chip
@@ -110,18 +105,17 @@ def _measure():
     img_s = batch * iters / dt
 
     record = {
-        "metric": METRIC,
+        "metric": _metric_name(variant),
         "value": round(img_s, 1),
         "unit": "img/s",
         "vs_baseline": round(img_s / BASELINE_IMG_S, 3),
     }
-    _stage_partial(dict(record, batch=batch, ms_per_img=round(1e3 / img_s, 3),
-                        device=jax.devices()[0].device_kind))
 
-    # NMS timing (reported separately, as the reference does) — optional:
-    # it costs a second large compile over the tunnel
+    # NMS timing (reported separately, as the reference does at
+    # test.py:261-263) — on by default so the official artifact carries
+    # the full-pipeline split
     nms_ms = -1.0
-    if os.environ.get("BENCH_NMS", "0") == "1":
+    if with_nms:
         pred = jax.jit(lambda v, r, i: model.apply(
             v, r, i, train=False)["pred"])(variables, rgb, ir)
         nms = jax.jit(lambda p: non_max_suppression(p.astype(jnp.float32),
@@ -134,9 +128,41 @@ def _measure():
         np.asarray(d)
         nms_ms = (time.perf_counter() - t0) / 5 / batch * 1e3
 
-    print(f"inference: {1e3 / img_s:.2f} ms/img, nms: {nms_ms:.2f} ms/img "
-          f"(-1 = skipped), batch={batch}, "
+    _stage_partial(dict(record, batch=batch, ms_per_img=round(1e3 / img_s, 3),
+                        nms_ms_per_img=round(nms_ms, 3),
+                        device=jax.devices()[0].device_kind))
+    print(f"[{variant}] inference: {1e3 / img_s:.2f} ms/img, "
+          f"nms: {nms_ms:.2f} ms/img (-1 = skipped), batch={batch}, "
           f"device={jax.devices()[0].device_kind}", file=sys.stderr)
+    return record
+
+
+def _measure():
+    """Child process: the actual benchmark (requires the real TPU)."""
+    import jax
+
+    platform = jax.devices()[0].platform
+    if platform != "tpu":
+        raise RuntimeError(
+            f"bench requires the real TPU, got platform={platform!r} "
+            "(refusing to report CPU numbers as chip throughput)")
+
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    variant = os.environ.get("BENCH_VARIANT", "gpt4")
+    with_nms = os.environ.get("BENCH_NMS", "1") == "1"
+    record = _measure_variant(variant, batch, with_nms)
+
+    # also capture the reference's lighter shipped yolov5s_fusion_add
+    # variant inside the SAME driver invocation (staged under its own
+    # metric name; the headline stays gpt4).  Best-effort: the headline
+    # must survive a variant-side failure.
+    if variant == "gpt4" and os.environ.get("BENCH_ADD_VARIANT", "1") == "1":
+        try:
+            _measure_variant("add", batch, with_nms)
+        except Exception as e:  # noqa: BLE001 — headline already staged
+            print(f"add-variant capture failed (headline unaffected): {e}",
+                  file=sys.stderr)
+
     print(json.dumps(record))
 
 
@@ -163,14 +189,20 @@ def _last_partial() -> dict | None:
 
 
 def _probe_tpu(timeout: int) -> str | None:
-    """Cheap child probe: is the TPU reachable?  Returns None if yes, else
-    the error string.  A dead relay makes ``import jax`` HANG (not raise),
-    so the probe runs in its own subprocess under a short timeout."""
+    """Cheap child probe: is the TPU reachable AND usable?  Returns None if
+    yes, else the error string.  A dead relay makes ``import jax`` HANG
+    (not raise), so the probe runs in its own subprocess under a short
+    timeout.  The probe executes one tiny real op: device enumeration alone
+    passes on a broken client (round 2: a libtpu AOT/terminal version
+    mismatch raised only at first dispatch, MULTICHIP_r02.json), and the
+    mismatch must be caught in this cheap gate, not mid-measurement."""
     try:
         proc = subprocess.run(
             [sys.executable, "-c",
-             "import jax; d = jax.devices(); "
-             "assert d[0].platform == 'tpu', d; print(d[0].device_kind)"],
+             "import jax, jax.numpy as jnp; d = jax.devices(); "
+             "assert d[0].platform == 'tpu', d; "
+             "s = float(jnp.ones(8).sum()); assert s == 8.0, s; "
+             "print(d[0].device_kind)"],
             capture_output=True, text=True, timeout=timeout)
     except subprocess.TimeoutExpired:
         return f"probe hang >{timeout}s (axon relay down)"

@@ -193,6 +193,48 @@ def two_stream_spec(scale: str = "l", fusion: str = "fourier", nc: int = 6,
                      fusion_layers=fusion_layers)
 
 
+def dryrun_spec(nc: int = 2, fusion_layers: int = 1) -> ModelSpec:
+    """Minimal two-stream spec for the multi-chip dryrun (CI-only; no
+    reference analog).  ONE cross-modal GPT fusion level plus a one-branch
+    PANet-style neck — covers every module class the full two-stream
+    grammar uses (Focus/Conv/C3/SPP/GPT/Add2/Add/Upsample/Concat/Detect +
+    SECOND_INPUT routing, so the sharding/psum semantics exercised are
+    identical to the 's'/'l' specs) at a fraction of the compile cost:
+    21 layers vs gpt4's 50."""
+    L = LayerDef
+    layers = (
+        # stream 1 -> P3/8
+        L(-1, 1, "Focus", (64, 3)),            # 0  /2
+        L(-1, 1, "Conv", (128, 3, 2)),         # 1  /4
+        L(-1, 1, "C3", (128,)),                # 2
+        L(-1, 1, "Conv", (256, 3, 2)),         # 3  /8
+        # stream 2 -> P3/8
+        L(SECOND_INPUT, 1, "Focus", (64, 3)),  # 4
+        L(-1, 1, "Conv", (128, 3, 2)),         # 5
+        L(-1, 1, "C3", (128,)),                # 6
+        L(-1, 1, "Conv", (256, 3, 2)),         # 7
+        # cross-modal transformer fusion (the TP-sharded attention path)
+        L((3, 7), 1, "GPT", (256,)),           # 8
+        L((3, 8), 1, "Add2", (256, 0)),        # 9
+        L((7, 8), 1, "Add2", (256, 1)),        # 10
+        L((9, 10), 1, "Add", (1,)),            # 11 P3 out
+        # shared neck down
+        L(-1, 1, "Conv", (512, 3, 2)),         # 12 /16
+        L(-1, 1, "C3", (512,)),                # 13
+        L(-1, 1, "Conv", (1024, 3, 2)),        # 14 /32
+        L(-1, 1, "SPP", (1024, (5, 9, 13))),   # 15 P5 out
+        # one PANet branch (Upsample/Concat coverage)
+        L(-1, 1, "Conv", (512, 1, 1)),         # 16
+        L(-1, 1, "Upsample", (None, 2, "nearest")),  # 17
+        L((-1, 13), 1, "Concat", (1,)),        # 18
+        L(-1, 1, "C3", (512, False)),          # 19 P4 out
+        L((11, 19, 15), 1, "Detect", ()),      # 20
+    )
+    return ModelSpec(nc=nc, anchors=COCO_ANCHORS, layers=layers,
+                     depth_multiple=0.25, width_multiple=0.125,
+                     fusion_layers=fusion_layers)
+
+
 def single_stream_spec(scale: str = "s", nc: int = 80,
                        anchors=COCO_ANCHORS) -> ModelSpec:
     """Vanilla YOLOv5 (reference ``models/yolov5{s,m,l,x}.yaml``)."""
