@@ -193,6 +193,10 @@ def main(argv=None):
                         "(cross-runtime; no JAX at inference)")
     p.add_argument("--tflite", action="store_true",
                    help="also convert the SavedModel to .tflite")
+    p.add_argument("--onnx", action="store_true",
+                   help="also export an ONNX graph (opset 17; emitted "
+                        "structurally, no onnx package needed — see "
+                        "deploy/onnx_export.py)")
     p.add_argument("--batch-size", type=int, default=1)
     args = p.parse_args(argv)
     set_logging()
@@ -223,6 +227,15 @@ def main(argv=None):
             tfl = export_tflite(sm_graph,
                                 os.path.join(path, "model.tflite"))
             print(f"exported TFLite -> {tfl}")
+    if args.onnx:
+        from mmidet_tpu.deploy.onnx_export import export_onnx
+        from mmidet_tpu.nn.fuse import fold_batchnorm
+        onnx_path = os.path.join(path, "model.onnx")
+        folded = variables if "batch_stats" not in variables else \
+            fold_batchnorm(variables)
+        export_onnx(spec, folded, args.img_size, onnx_path,
+                    use_cem=getattr(model, "use_cem", True))
+        print(f"exported ONNX (opset 17) -> {onnx_path}")
     return path
 
 
