@@ -66,12 +66,15 @@ def _measure_variant(variant: str, batch: int, with_nms: bool) -> dict:
     # deploy configuration: bf16, BN folded into convs (fuse_conv_and_bn
     # parity), batch sized to saturate the chip
     base = TwoStreamDetector(spec=spec, aux_mode="off", dtype=jnp.bfloat16)
+    # BENCH_QUANT=1: s8-storage conv stack (activations cross HBM as int8,
+    # calibrated scales; nn/quant.py) — staged under a _s8 metric suffix
+    use_quant = os.environ.get("BENCH_QUANT", "0") == "1"
     model = TwoStreamDetector(
         spec=spec, aux_mode="off", fused=True, pallas_fusion=True,
         # the fused CEM kernel is probe-gated: flip on via env once
         # tools/_probe_cem.py has validated the Mosaic compile on hardware
         pallas_cem=os.environ.get("BENCH_PALLAS_CEM", "0") == "1",
-        dtype=jnp.bfloat16)
+        quant=use_quant, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     rgb = jax.random.uniform(rng, (batch, img, img, 3), jnp.bfloat16)
     ir = jax.random.uniform(rng, (batch, img, img, 3), jnp.bfloat16)
@@ -85,6 +88,16 @@ def _measure_variant(variant: str, batch: int, with_nms: bool) -> dict:
     variables = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
         variables)
+    if use_quant:
+        from mmidet_tpu.nn.quant import (calibrate_act_scales,
+                                         quantized_variables)
+        calib_model = TwoStreamDetector(spec=spec, aux_mode="off",
+                                        fused=True, dtype=jnp.bfloat16)
+        qcol = calibrate_act_scales(
+            calib_model, variables,
+            [(jax.random.uniform(rng, (2, img, img, 3), jnp.bfloat16),
+              jax.random.uniform(rng, (2, img, img, 3), jnp.bfloat16))])
+        variables = quantized_variables(variables, qcol)
 
     iters = int(os.environ.get("BENCH_ITERS", "8"))
 
@@ -105,7 +118,7 @@ def _measure_variant(variant: str, batch: int, with_nms: bool) -> dict:
     img_s = batch * iters / dt
 
     record = {
-        "metric": _metric_name(variant),
+        "metric": _metric_name(variant) + ("_s8" if use_quant else ""),
         "value": round(img_s, 1),
         "unit": "img/s",
         "vs_baseline": round(img_s / BASELINE_IMG_S, 3),

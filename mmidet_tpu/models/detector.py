@@ -50,6 +50,12 @@ class TwoStreamDetector(nn.Module):
     # return {"trunc": <that layer's output>} — prefix-delta wall-clock and
     # XLA cost analysis attribute time/bytes to individual stages
     truncate_at: int | None = None
+    # s8-storage quantization of the conv stack (deploy-only, requires
+    # fused): conv activations cross HBM as int8 QTensors with calibrated
+    # per-tensor scales; compute stays bf16.  See mmidet_tpu.nn.quant for
+    # the measured hardware rationale.  Needs the 'quant' collection in
+    # variables (from quant.calibrate_act_scales).
+    quant: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -93,14 +99,20 @@ class TwoStreamDetector(nn.Module):
             else:
                 inp = get(rl.f)
 
+            if m not in _QUANT_CAPABLE:
+                # everything but the quantized conv stack consumes floats
+                from mmidet_tpu.nn.quant import deq_tree
+                inp = deq_tree(inp, dt)
+
             if m in _SIMPLE:
                 # n>1 repeats chain sequentially (reference nn.Sequential,
                 # yolo_test.py:563) — C3-family folds repeats internally so
                 # this only triggers for plain Bottleneck rows (hub yolov3)
-                x = _SIMPLE[m](rl, dt, name, self.fused)(inp, train)
+                quant = self.quant and m in _QUANT_CAPABLE
+                x = _SIMPLE[m](rl, dt, name, self.fused, quant)(inp, train)
                 for r in range(1, rl.n):
                     x = _SIMPLE[m](rl, dt, f"{name}_r{r}",
-                                   self.fused)(x, train)
+                                   self.fused, quant)(x, train)
             elif m == "Concat":
                 x = jnp.concatenate(inp, axis=-1)
             elif m == "Add":
@@ -211,7 +223,9 @@ class TwoStreamDetector(nn.Module):
                 y[rl.index] = x
 
             if self.truncate_at is not None and rl.index == self.truncate_at:
-                out = tuple(x) if isinstance(x, (list, tuple)) else x
+                from mmidet_tpu.nn.quant import deq_tree
+                out = deq_tree(x, dt)
+                out = tuple(out) if isinstance(out, (list, tuple)) else out
                 return {"trunc": out, "aux": aux}
 
         if result is None:
@@ -231,34 +245,46 @@ class TwoStreamDetector(nn.Module):
         return result
 
 
-def _simple(builder):
-    """Wrap a (rl, dtype, name, fused) -> module factory into x,train
-    calling."""
-    def make(rl, dt, name, fused):
-        mod = builder(rl, dt, name, fused)
+def _simple(builder, quantable: bool = False):
+    """Wrap a (rl, dtype, name, fused[, quant]) -> module factory into
+    x,train calling."""
+    def make(rl, dt, name, fused, quant=False):
+        mod = builder(rl, dt, name, fused, quant) if quantable \
+            else builder(rl, dt, name, fused)
         return lambda x, train: mod(x, train)
     return make
 
 
+# modules that natively consume/produce int8 QTensors in s8store mode
+_QUANT_CAPABLE = {"Conv", "Focus", "Bottleneck", "C3", "SPP", "SPPF",
+                  "DWConv"}
+
 _SIMPLE = {
-    "Conv": _simple(lambda rl, dt, name, fused: L.ConvBnAct(
-        rl.args[0], *rl.args[1:], fused=fused, dtype=dt, name=name)),
-    "Focus": _simple(lambda rl, dt, name, fused: L.Focus(
-        rl.args[0], *rl.args[1:], fused=fused, dtype=dt, name=name)),
-    "Bottleneck": _simple(lambda rl, dt, name, fused: L.Bottleneck(
-        rl.args[0], *rl.args[1:], fused=fused, dtype=dt, name=name)),
+    "Conv": _simple(lambda rl, dt, name, fused, q: L.ConvBnAct(
+        rl.args[0], *rl.args[1:], fused=fused, quant=q, dtype=dt,
+        name=name), quantable=True),
+    "Focus": _simple(lambda rl, dt, name, fused, q: L.Focus(
+        rl.args[0], *rl.args[1:], fused=fused, quant=q, dtype=dt,
+        name=name), quantable=True),
+    "Bottleneck": _simple(lambda rl, dt, name, fused, q: L.Bottleneck(
+        rl.args[0], *rl.args[1:], fused=fused, quant=q, dtype=dt,
+        name=name), quantable=True),
     "BottleneckCSP": _simple(lambda rl, dt, name, fused: L.BottleneckCSP(
         rl.args[0], *rl.args[1:], fused=fused, dtype=dt, name=name)),
-    "C3": _simple(lambda rl, dt, name, fused: L.C3(
-        rl.args[0], *rl.args[1:], fused=fused, dtype=dt, name=name)),
+    "C3": _simple(lambda rl, dt, name, fused, q: L.C3(
+        rl.args[0], *rl.args[1:], fused=fused, quant=q, dtype=dt,
+        name=name), quantable=True),
     "C3TR": _simple(lambda rl, dt, name, fused: L.C3TR(
         rl.args[0], *rl.args[1:], fused=fused, dtype=dt, name=name)),
-    "SPP": _simple(lambda rl, dt, name, fused: L.SPP(
-        rl.args[0], *rl.args[1:], fused=fused, dtype=dt, name=name)),
-    "SPPF": _simple(lambda rl, dt, name, fused: L.SPPF(
-        rl.args[0], *rl.args[1:], fused=fused, dtype=dt, name=name)),
-    "DWConv": _simple(lambda rl, dt, name, fused: L.DWConv(
-        rl.args[0], *rl.args[1:], fused=fused, dtype=dt, name=name)),
+    "SPP": _simple(lambda rl, dt, name, fused, q: L.SPP(
+        rl.args[0], *rl.args[1:], fused=fused, quant=q, dtype=dt,
+        name=name), quantable=True),
+    "SPPF": _simple(lambda rl, dt, name, fused, q: L.SPPF(
+        rl.args[0], *rl.args[1:], fused=fused, quant=q, dtype=dt,
+        name=name), quantable=True),
+    "DWConv": _simple(lambda rl, dt, name, fused, q: L.DWConv(
+        rl.args[0], *rl.args[1:], fused=fused, quant=q, dtype=dt,
+        name=name), quantable=True),
     "GhostConv": _simple(lambda rl, dt, name, fused: L.GhostConv(
         rl.args[0], *rl.args[1:], fused=fused, dtype=dt, name=name)),
     "GhostBottleneck": _simple(lambda rl, dt, name, fused: L.GhostBottleneck(

@@ -62,7 +62,17 @@ class ConvBnAct(nn.Module):
     ``fused=True`` is the inference deploy mode: BN is folded into the conv
     kernel + bias (reference ``fuse_conv_and_bn`` / ``fuseforward``,
     utils/torch_utils.py:181, common.py:124) — params produced by
-    ``mmidet_tpu.nn.fuse.fold_batchnorm``."""
+    ``mmidet_tpu.nn.fuse.fold_batchnorm``.
+
+    ``quant=True`` (s8store, deploy-only, requires fused): the activation
+    output is quantized to int8 with this module's calibrated per-tensor
+    ``out_scale`` and returned as a ``QTensor`` — the int8 tensor is the
+    XLA fusion boundary, halving the activation HBM traffic of the
+    bytes-bound conv stack; compute stays bf16 (the measured-winning
+    formulation, see ``mmidet_tpu.nn.quant``).  Consumers dequantize on
+    entry.  In the float path the fused module sows its activation absmax
+    to the ``calib`` collection (active only when 'calib' is mutable) for
+    calibration."""
     features: int
     kernel: int = 1
     stride: int = 1
@@ -70,10 +80,14 @@ class ConvBnAct(nn.Module):
     groups: int = 1
     act: str | None = "silu"
     fused: bool = False
+    quant: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from mmidet_tpu.nn.quant import QTensor, dequantize, quantize
+        if isinstance(x, QTensor):
+            x = dequantize(x, self.dtype)
         # kernel may be an int or a (kh, kw) pair (hub yolov3.yaml uses
         # ``Conv, [512, [1, 1]]``)
         k = (self.kernel, self.kernel) if isinstance(self.kernel, int) \
@@ -91,7 +105,17 @@ class ConvBnAct(nn.Module):
             x = nn.BatchNorm(use_running_average=not train,
                              momentum=BN_MOMENTUM,
                              epsilon=BN_EPS, dtype=self.dtype, name="bn")(x)
-        return act_fn(self.act)(x)
+        x = act_fn(self.act)(x)
+        if self.fused and not train:
+            if self.quant:
+                s = self.variable("quant", "out_scale",
+                                  lambda: jnp.float32(1.0))
+                return quantize(x, s.value)
+            if (not self.is_initializing()
+                    and self.is_mutable_collection("calib")):
+                self.sow("calib", "out_absmax", jnp.max(jnp.abs(
+                    x.astype(jnp.float32))))
+        return x
 
 
 class DWConv(nn.Module):
@@ -101,13 +125,17 @@ class DWConv(nn.Module):
     stride: int = 1
     act: str | None = "silu"
     fused: bool = False
+    quant: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        g = math.gcd(x.shape[-1], self.features)
+        from mmidet_tpu.nn.quant import QTensor
+        c1 = x.v.shape[-1] if isinstance(x, QTensor) else x.shape[-1]
+        g = math.gcd(c1, self.features)
         return ConvBnAct(self.features, self.kernel, self.stride, groups=g,
-                         act=self.act, fused=self.fused, dtype=self.dtype, name="conv")(x, train)
+                         act=self.act, fused=self.fused, quant=self.quant,
+                         dtype=self.dtype, name="conv")(x, train)
 
 
 class Focus(nn.Module):
@@ -129,10 +157,14 @@ class Focus(nn.Module):
     stride: int = 1
     act: str | None = "silu"
     fused: bool = False
+    quant: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from mmidet_tpu.nn.quant import QTensor, dequantize, quantize
+        if isinstance(x, QTensor):
+            x = dequantize(x, self.dtype)
         c1 = x.shape[-1]
         k, s = self.kernel, self.stride
         if s != 1:
@@ -141,8 +173,8 @@ class Focus(nn.Module):
                 x[:, ::2, ::2, :], x[:, 1::2, ::2, :],
                 x[:, ::2, 1::2, :], x[:, 1::2, 1::2, :]], axis=-1)
             return ConvBnAct(self.features, k, s, act=self.act,
-                             fused=self.fused, dtype=self.dtype,
-                             name="conv")(y, train)
+                             fused=self.fused, quant=self.quant,
+                             dtype=self.dtype, name="conv")(y, train)
 
         p = autopad(k)
         kernel = self.param(
@@ -174,7 +206,17 @@ class Focus(nn.Module):
             y = nn.BatchNorm(use_running_average=not train,
                              momentum=BN_MOMENTUM, epsilon=BN_EPS,
                              dtype=self.dtype, name="conv_bn")(y)
-        return act_fn(self.act)(y)
+        y = act_fn(self.act)(y)
+        if self.fused and not train:
+            if self.quant:
+                sc = self.variable("quant", "out_scale",
+                                   lambda: jnp.float32(1.0))
+                return quantize(y, sc.value)
+            if (not self.is_initializing()
+                    and self.is_mutable_collection("calib")):
+                self.sow("calib", "out_absmax", jnp.max(jnp.abs(
+                    y.astype(jnp.float32))))
+        return y
 
 
 class Bottleneck(nn.Module):
@@ -184,15 +226,22 @@ class Bottleneck(nn.Module):
     groups: int = 1
     expansion: float = 0.5
     fused: bool = False
+    quant: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from mmidet_tpu.nn.quant import QTensor, dequantize
         c_ = int(self.features * self.expansion)
-        y = ConvBnAct(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="cv1")(x, train)
+        c_in = x.v.shape[-1] if isinstance(x, QTensor) else x.shape[-1]
+        y = ConvBnAct(c_, 1, 1, fused=self.fused, quant=self.quant,
+                      dtype=self.dtype, name="cv1")(x, train)
         y = ConvBnAct(self.features, 3, 1, groups=self.groups,
-                      fused=self.fused, dtype=self.dtype, name="cv2")(y, train)
-        if self.shortcut and x.shape[-1] == self.features:
+                      fused=self.fused, quant=self.quant,
+                      dtype=self.dtype, name="cv2")(y, train)
+        if self.shortcut and c_in == self.features:
+            if isinstance(x, QTensor) or isinstance(y, QTensor):
+                return dequantize(x, self.dtype) + dequantize(y, self.dtype)
             return x + y
         return y
 
@@ -205,18 +254,25 @@ class C3(nn.Module):
     groups: int = 1
     expansion: float = 0.5
     fused: bool = False
+    quant: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from mmidet_tpu.nn.quant import dequantize
         c_ = int(self.features * self.expansion)
-        y1 = ConvBnAct(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="cv1")(x, train)
+        y1 = ConvBnAct(c_, 1, 1, fused=self.fused, quant=self.quant,
+                       dtype=self.dtype, name="cv1")(x, train)
         for i in range(self.n):
             y1 = Bottleneck(c_, self.shortcut, self.groups, 1.0,
-                            fused=self.fused, dtype=self.dtype, name=f"m{i}")(y1, train)
-        y2 = ConvBnAct(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="cv2")(x, train)
-        y = jnp.concatenate([y1, y2], axis=-1)
-        return ConvBnAct(self.features, 1, 1, fused=self.fused, dtype=self.dtype,
+                            fused=self.fused, quant=self.quant,
+                            dtype=self.dtype, name=f"m{i}")(y1, train)
+        y2 = ConvBnAct(c_, 1, 1, fused=self.fused, quant=self.quant,
+                       dtype=self.dtype, name="cv2")(x, train)
+        y = jnp.concatenate([dequantize(y1, self.dtype),
+                             dequantize(y2, self.dtype)], axis=-1)
+        return ConvBnAct(self.features, 1, 1, fused=self.fused,
+                         quant=self.quant, dtype=self.dtype,
                          name="cv3")(y, train)
 
 
@@ -328,15 +384,21 @@ class SPP(nn.Module):
     features: int
     kernels: Sequence[int] = (5, 9, 13)
     fused: bool = False
+    quant: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        c_ = x.shape[-1] // 2
-        x = ConvBnAct(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="cv1")(x, train)
+        from mmidet_tpu.nn.quant import QTensor, dequantize
+        c_in = x.v.shape[-1] if isinstance(x, QTensor) else x.shape[-1]
+        c_ = c_in // 2
+        x = ConvBnAct(c_, 1, 1, fused=self.fused, quant=self.quant,
+                      dtype=self.dtype, name="cv1")(x, train)
+        x = dequantize(x, self.dtype)  # pools/concat at P5 size: tiny bytes
         ys = [x] + [_max_pool_same(x, k) for k in self.kernels]
         y = jnp.concatenate(ys, axis=-1)
-        return ConvBnAct(self.features, 1, 1, fused=self.fused, dtype=self.dtype,
+        return ConvBnAct(self.features, 1, 1, fused=self.fused,
+                         quant=self.quant, dtype=self.dtype,
                          name="cv2")(y, train)
 
 
@@ -345,17 +407,23 @@ class SPPF(nn.Module):
     features: int
     kernel: int = 5
     fused: bool = False
+    quant: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        c_ = x.shape[-1] // 2
-        x = ConvBnAct(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="cv1")(x, train)
+        from mmidet_tpu.nn.quant import QTensor, dequantize
+        c_in = x.v.shape[-1] if isinstance(x, QTensor) else x.shape[-1]
+        c_ = c_in // 2
+        x = ConvBnAct(c_, 1, 1, fused=self.fused, quant=self.quant,
+                      dtype=self.dtype, name="cv1")(x, train)
+        x = dequantize(x, self.dtype)
         y1 = _max_pool_same(x, self.kernel)
         y2 = _max_pool_same(y1, self.kernel)
         y3 = _max_pool_same(y2, self.kernel)
         y = jnp.concatenate([x, y1, y2, y3], axis=-1)
-        return ConvBnAct(self.features, 1, 1, fused=self.fused, dtype=self.dtype,
+        return ConvBnAct(self.features, 1, 1, fused=self.fused,
+                         quant=self.quant, dtype=self.dtype,
                          name="cv2")(y, train)
 
 
