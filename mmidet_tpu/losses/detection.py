@@ -31,6 +31,12 @@ import jax.numpy as jnp
 
 from mmidet_tpu.ops.boxes import bbox_iou
 
+# duplicate-cell objectness semantics: 'last' = reference-exact
+# last-write-wins (utils/loss.py:249); 'max' = round-1 scatter-max —
+# kept ONLY as the ablation arm of the measured A/B
+# (tools/ab_exactness.py).  Read at trace time: set before jitting.
+OBJ_DUP_MODE = "last"
+
 # candidate offsets (reference loss.py:198-201), bias g = 0.5
 _OFFSETS = jnp.asarray([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0],
                         [-1.0, 0.0], [0.0, -1.0]]) * 0.5
@@ -227,13 +233,18 @@ def compute_loss(train_outs: Sequence[jnp.ndarray], targets: jnp.ndarray,
         # objectness target: reference-exact LAST-write-wins on duplicate
         # cells (loss.py:249 writes tobj[b,a,gj,gi] in candidate order) —
         # an int scatter-max of the write-order seq picks each cell's
-        # winner, whose (single) value then lands via a float scatter
+        # winner, whose (single) value then lands via a float scatter.
+        # OBJ_DUP_MODE='max' keeps the round-1 scatter-max semantics for
+        # the measured A/B (tools/ab_exactness.py; PARITY.md).
         tobj_val = (1.0 - hyp.gr) + hyp.gr * jnp.clip(
             jax.lax.stop_gradient(iou), 0.0)
-        seq = jnp.where(valid, cand["seq"].reshape(-1), 0)
-        win = jnp.zeros((b_ * na * ny * nx,), jnp.int32).at[lin].max(
-            seq, mode="drop")
-        is_winner = valid & (seq == win[lin])
+        if OBJ_DUP_MODE == "last":
+            seq = jnp.where(valid, cand["seq"].reshape(-1), 0)
+            win = jnp.zeros((b_ * na * ny * nx,), jnp.int32).at[lin].max(
+                seq, mode="drop")
+            is_winner = valid & (seq == win[lin])
+        else:  # 'max': every valid candidate competes, largest IoU wins
+            is_winner = valid
         tobj = jnp.zeros((b_ * na * ny * nx,), dtype).at[lin].max(
             jnp.where(is_winner, tobj_val, -1.0), mode="drop")
         tobj = jnp.clip(tobj, 0.0)

@@ -7,6 +7,12 @@ Times, with the scan-loop method (tunnel dispatch would otherwise dominate):
   step       — the full train step (grad + optimizer + EMA)
   step_donated — same jit with donated state buffers
   aug        — the batch augmentation graph (mosaic+warp+HSV)
+
+End-to-end training throughput (full step + full mosaic/warp/HSV graph,
+the reference's train.py:712-825 configuration at batch 16) is staged
+into BENCH_partial.json as ``yolov5s_twostream_640_mosaic_train`` so the
+round carries a driver-parseable training-throughput record
+(BASELINE.json configs[4]).
 """
 
 from __future__ import annotations
@@ -128,12 +134,39 @@ def main():
           "ir4": jnp.tile(b["ir"][:, None], (1, 4, 1, 1, 1)),
           "labels4": jnp.tile(b["targets"][:, None], (1, 4, 1, 1)),
           "mask4": jnp.tile(b["mask"][:, None], (1, 4, 1))}
+    t_aug = None
     try:
         t_aug = timed_scan(lambda s, bb, r: aug(bb, r)["rgb"], state, jb, rng)
         print(f"aug graph     : {t_aug*1e3:8.1f} ms/step", flush=True)
     except Exception as e:
         print(f"aug graph     : skipped ({type(e).__name__}: {str(e)[:80]})",
               flush=True)
+
+    # ---- driver-parseable end-to-end training-throughput record ----
+    # Full step + full on-device mosaic/warp/HSV graph == the reference's
+    # end-to-end train.py configuration (BASELINE.json configs[4]).
+    if t_aug is not None and jax.devices()[0].platform == "tpu":
+        e2e = batch / (t_step + t_aug)
+        record = {
+            "metric": "yolov5s_twostream_640_mosaic_train",
+            "value": round(e2e, 1),
+            "unit": "img/s",
+            "batch": batch,
+            "step_ms": round(t_step * 1e3, 1),
+            "aug_ms": round(t_aug * 1e3, 1),
+            # dp=8 expectation (PERF.md "Multi-chip scaling"): grads
+            # all-reduce ~180 MB over the v5e ICI ring ~45 GB/s -> ~8 ms
+            # vs the measured step -> ~7.5x at dp=8, global batch 8x
+            "dp8_expected": round(
+                e2e * 8 * (t_step + t_aug)
+                / (t_step + t_aug + 0.008), 1),
+        }
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        import bench
+        bench._stage_partial(record)
+        print(f"e2e mosaic train: {e2e:8.1f} img/s (staged to "
+              f"BENCH_partial.json)", flush=True)
 
 
 if __name__ == "__main__":
