@@ -134,30 +134,30 @@ def pack_cem_weights(w2, b2, factor, bias_s, w3, b3, dtype=jnp.bfloat16):
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _kernel(x_hbm, w2p, b2v, wb3, bev, w3p, b3v, out_ref, x_scr, sem,
+def _kernel(p2_hbm, w2p, b2v, wb3, bev, w3p, b3v, csum, out_ref, p_scr, sem,
             *, H, W, R, pdt):
     """One (image, row-block) grid step.  pdt: matmul/patch compute dtype
-    (bf16 on hardware; f32 available for exactness tests)."""
+    (bf16 on hardware; f32 available for exactness tests).
+
+    Mosaic-safe formulation (round-3 fallback rewrite — every op class
+    probed on hardware first, tools/_probe_cem_fb.py):
+      * conv2 consumes HOST-side im2col patches (fallback A) — no
+        (.., 24G) -> (.., G, 24) lane-split reshapes in-kernel;
+      * the channel sum is a (192 x 8) selector MATMUL (fallback B) —
+        no (.., 192) -> (.., 8, 24) split;
+      * the output leaves the kernel in its blocked (R/5*G, 128) matmul
+        layout; un-blocking + the residual add run in XLA afterwards."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     G = W // 8
     row0 = i * R
 
-    cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(row0, R + 6)], x_scr, sem)
+    cp = pltpu.make_async_copy(p2_hbm.at[b, pl.ds(row0, R + 4)], p_scr, sem)
     cp.start()
     cp.wait()
-    x = x_scr[:]                                      # (R+6, FIN)
+    p2 = p_scr[:].astype(pdt)                         # (R+4, G, 128)
 
     # ---- conv2 as an overlapped-patch matmul (8 px / row) ----------------
-    # patch lane kappa = 30*ky + (3*dx + c), window px = 8j-1+dx, dx in 0..9;
-    # built with two shifted reshapes per kernel row (windows overlap 2 px).
-    parts = []
-    for ky in range(3):
-        a = x[ky:ky + R + 4, 0:_E * G].reshape(R + 4, G, _E)
-        s = x[ky:ky + R + 4, _E:_E * G + _E].reshape(R + 4, G, _E)
-        parts.append(jnp.concatenate([a, s[..., :6]], axis=-1))
-    parts.append(jnp.zeros((R + 4, G, _LANE - 90), pdt))
-    p2 = jnp.concatenate([q.astype(pdt) for q in parts], axis=-1)
     ypre = jnp.dot(p2.reshape((R + 4) * G, _LANE), w2p[:].astype(pdt),
                    preferred_element_type=jnp.float32)
     ypre = ypre.reshape(R + 4, G, 8 * _E) + b2v[:][0]
@@ -168,8 +168,10 @@ def _kernel(x_hbm, w2p, b2v, wb3, bev, w3p, b3v, out_ref, x_scr, sem,
     y = y * ((t >= 0) & (t < H)).astype(y.dtype)
     yg = y.astype(pdt)                                # (R+4, G, 192)
 
-    # ---- channel sum + (bank * tile * factor) matmul ---------------------
-    ysum = y.reshape(R + 4, G, 8, _E).sum(-1).astype(pdt)   # (R+4, G, 8)
+    # ---- channel sum as a selector matmul + (bank*tile*factor) matmul ----
+    ysum = jnp.dot(yg.reshape((R + 4) * G, 8 * _E), csum[:].astype(pdt),
+                   preferred_element_type=jnp.float32)
+    ysum = ysum[:, :8].reshape(R + 4, G, 8).astype(pdt)     # (R+4, G, 8)
     zg = jnp.zeros((R + 4, 1, 8), pdt)
     ysum_gp = jnp.concatenate([zg, ysum, zg], axis=1)       # (R+4, G+2, 8)
     eparts = []
@@ -209,16 +211,40 @@ def _kernel(x_hbm, w2p, b2v, wb3, bev, w3p, b3v, out_ref, x_scr, sem,
                 preferred_element_type=jnp.float32)
     z = _leaky(z.reshape(R // 5, G, _LANE) + b3v[:][0])
 
-    # ---- rearrange (R//5, G, [24s+3p+n]) -> (R, 3W) + residual -----------
-    rows = [z[:, :, _E * s:_E * s + _E].reshape(R // 5, _E * G)
-            for s in range(5)]
-    zz = jnp.stack(rows, axis=1).reshape(R, _E * G)         # 24G == 3W
-    res = x_scr[3:3 + R, 3:3 + 3 * W]
-    out_ref[0] = (zz + res.astype(jnp.float32)).astype(out_ref.dtype)
+    # ---- blocked output: (R//5, G, [24s+3p+n]) as-is; XLA un-blocks ------
+    G_ = z.shape[1]
+    out_ref[0] = z.reshape((R // 5) * G_, _LANE).astype(out_ref.dtype)
 
 
 def cem_kernel_supported(h: int, w: int, c: int) -> bool:
     return c == _C and h % 40 == 0 and w % 8 == 0 and w >= 16
+
+
+@functools.lru_cache(maxsize=None)
+def _csum_selector() -> np.ndarray:
+    """(192, 128) channel-sum selector: lane 24p+m contributes to col p
+    (fallback B: the channel sum as a matmul — no lane-split reshape)."""
+    s = np.zeros((8 * _E, _LANE), np.float32)
+    s[np.arange(8 * _E), np.arange(8 * _E) // _E] = 1.0
+    return s
+
+
+def _conv2_patches(x, H, W, G, dtype):
+    """Host/XLA-side overlapped-group im2col for conv2 (fallback A):
+    p2[b, r, g, 30*ky + 3*dx + c] = x_pad3[b, r + ky, 8g + dx, c]
+    over output rows r in -2..H+1 (so the kernel needs no lane-split
+    reshapes to build patches).  Costs one extra HBM pass over a
+    (B, H+4, G, 128) tensor (~1.4 GB/batch-128 @640 — measured cheaper
+    than losing the kernel to a Mosaic rejection, ROUND2.md fallback A)."""
+    B = x.shape[0]
+    xp = jnp.pad(x.astype(dtype), ((0, 0), (3, 3), (1, 1), (0, 0)))
+    parts = []
+    for ky in range(3):
+        for dx in range(10):
+            sl = xp[:, ky:ky + H + 4, dx::8, :][:, :, :G, :]
+            parts.append(sl)
+    p2 = jnp.concatenate(parts, axis=-1)          # (B, H+4, G, 90)
+    return jnp.pad(p2, ((0, 0), (0, 0), (0, 0), (0, _LANE - 90)))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "precise"))
@@ -231,32 +257,33 @@ def fused_cem(x, w2, b2, factor, bias_s, w3, b3, *, interpret: bool = False,
     assert cem_kernel_supported(H, W, C), (H, W, C)
     R = 80 if H % 80 == 0 else 40
     G = W // 8
-    fin = _round_up(max(3 * (W + 2), _E * G + _E), _LANE)
     pdt = jnp.float32 if precise else jnp.bfloat16
 
     packed = pack_cem_weights(w2, b2, factor, bias_s, w3, b3,
                               dtype=jnp.float32 if precise else jnp.bfloat16)
-    # pre-pad: 3 halo rows + 1 halo px (3 lanes) each side, flat W*C lanes
-    xf = jnp.pad(x.astype(jnp.bfloat16 if not precise else jnp.float32),
-                 ((0, 0), (3, 3), (1, 1), (0, 0)))
-    xf = xf.reshape(B, H + 6, 3 * (W + 2))
-    xf = jnp.pad(xf, ((0, 0), (0, 0), (0, fin - 3 * (W + 2))))
+    p2 = _conv2_patches(x, H, W, G, pdt)
+    csum = jnp.asarray(_csum_selector(), pdt)
 
     kernel = functools.partial(_kernel, H=H, W=W, R=R, pdt=pdt)
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    zb = pl.pallas_call(
         kernel,
         grid=(B, H // R),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  wspec, wspec, wspec, wspec, wspec, wspec],
-        out_specs=pl.BlockSpec((1, R, 3 * W), lambda b, i: (b, i, 0),
+                  wspec, wspec, wspec, wspec, wspec, wspec, wspec],
+        out_specs=pl.BlockSpec((1, (R // 5) * G, _LANE),
+                               lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, 3 * W), x.dtype),
-        scratch_shapes=[pltpu.VMEM((R + 6, fin), xf.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, (H // 5) * G, _LANE), x.dtype),
+        scratch_shapes=[pltpu.VMEM((R + 4, G, _LANE), p2.dtype),
                         pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(xf, packed["w2p"], packed["b2v"], packed["wb3"], packed["bev"],
-      packed["w3p"], packed["b3v"])
-    return out.reshape(B, H, W, C)
+    )(p2, packed["w2p"], packed["b2v"], packed["wb3"], packed["bev"],
+      packed["w3p"], packed["b3v"], csum)
+    # un-block (lane = 24s + 3p + n -> rows s, px p, ch n) + residual
+    z = zb.reshape(B, H // 5, G, _LANE)[..., :5 * 8 * _C]
+    z = z.reshape(B, H // 5, G, 5, 8, _C).transpose(0, 1, 3, 2, 4, 5)
+    z = z.reshape(B, H, W, C)
+    return (z + x.astype(z.dtype)).astype(x.dtype)
