@@ -53,6 +53,9 @@ def build_parser():
                    help="omit confidences from labels (ref --hide-conf)")
     p.add_argument("--exist-ok", action="store_true",
                    help="reuse --project/--name without incrementing")
+    p.add_argument("--int8", action="store_true",
+                   help="s8-storage quantized deploy (scales calibrated "
+                        "on the first source pair — see nn/quant.py)")
     return p
 
 
@@ -72,6 +75,17 @@ def main(argv=None):
     assert len(rgb_files) == len(ir_files), "paired sources length mismatch"
 
     s = args.img_size
+    if args.int8:
+        import numpy as _np
+        from mmidet_tpu.nn.quant import make_quant_deploy
+        r0, i0 = (_np.asarray(Image.open(rgb_files[0]).convert("RGB")),
+                  _np.asarray(Image.open(ir_files[0]).convert("RGB")))
+        rl, _, _ = letterbox_np(r0, (s, s))
+        il, _, _ = letterbox_np(i0, (s, s))
+        model, variables = make_quant_deploy(
+            model, variables,
+            [(jnp.asarray(rl, jnp.float32)[None] / 255.0,
+              jnp.asarray(il, jnp.float32)[None] / 255.0)])
 
     @jax.jit
     def _infer(variables, rgb, ir):

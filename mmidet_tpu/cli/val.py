@@ -79,7 +79,23 @@ def build_parser():
     p.add_argument("--project", type=str, default="runs/test")
     p.add_argument("--name", type=str, default="exp")
     p.add_argument("--exist-ok", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="s8-storage quantized deploy (activations cross "
+                        "HBM as int8; scales calibrated on the first val "
+                        "batch — see nn/quant.py)")
     return p
+
+
+def _apply_int8(model, variables, ds, img_size: int):
+    """Fold + calibrate on the first val batch -> (q_model, q_vars)."""
+    import jax.numpy as jnp
+    from mmidet_tpu.data.loader import PairedLoader
+    from mmidet_tpu.nn.quant import make_quant_deploy
+    calib = next(iter(PairedLoader(ds, min(4, len(ds)), img_size,
+                                   drop_last=False, scaleup=False)))
+    rgb = jnp.asarray(calib["rgb"], jnp.float32) / 255.0
+    ir = jnp.asarray(calib["ir"], jnp.float32) / 255.0
+    return make_quant_deploy(model, variables, [(rgb, ir)])
 
 
 def main(argv=None):
@@ -95,6 +111,8 @@ def main(argv=None):
         for lab in ds.labels:
             if len(lab):
                 lab[:, 0] = 0.0
+    if args.int8:
+        model, variables = _apply_int8(model, variables, ds, args.img_size)
 
     if args.task in ("val", "test"):
         import os

@@ -72,9 +72,11 @@ def _round_up(v: int, m: int) -> int:
 
 @functools.lru_cache(maxsize=None)
 def _w2p_indices():
+    # patch lane order = 9*dx + 3*ky + c (dx-major: what the reshape-based
+    # host im2col emits — see _conv2_patches)
     ky, kx, c, p, n = np.meshgrid(np.arange(3), np.arange(3), np.arange(_C),
                                   np.arange(8), np.arange(_E), indexing="ij")
-    rows = 30 * ky + 3 * (p + kx) + c          # dx = p + kx in 0..9
+    rows = 9 * (p + kx) + 3 * ky + c           # dx = p + kx in 0..9
     cols = _E * p + n
     return (rows.ravel(), cols.ravel(),
             ky.ravel(), kx.ravel(), c.ravel(), n.ravel())
@@ -169,42 +171,59 @@ def _kernel(p2_hbm, w2p, b2v, wb3, bev, w3p, b3v, csum, out_ref, p_scr, sem,
     yg = y.astype(pdt)                                # (R+4, G, 192)
 
     # ---- channel sum as a selector matmul + (bank*tile*factor) matmul ----
+    # Halo gather via sublane/lane ROLLS, not offset slices: Mosaic rejects
+    # lane-concats whose parts carry mismatched register offsets on a
+    # non-concat dim ("result/input offset mismatch", tools/_probe_cem.py
+    # 2026-08-19); rolled+masked parts all sit at offset {0,0}
+    # (tools/_probe_cem_r3.py: B/C compile, A/D rejected).  tpu.dynamic_
+    # rotate is 32-bit-only, so rolls run on the f32 matmul output.
     ysum = jnp.dot(yg.reshape((R + 4) * G, 8 * _E), csum[:].astype(pdt),
                    preferred_element_type=jnp.float32)
-    ysum = ysum[:, :8].reshape(R + 4, G, 8).astype(pdt)     # (R+4, G, 8)
-    zg = jnp.zeros((R + 4, 1, 8), pdt)
-    ysum_gp = jnp.concatenate([zg, ysum, zg], axis=1)       # (R+4, G+2, 8)
+    ysum = ysum[:, :8].reshape(R + 4, G, 8)                 # (R+4, G, 8) f32
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (1, G, 1), 1)
+    sl = pltpu.roll(ysum, 1, 1) * (gidx > 0)                # group g-1 @ g
+    sl7 = pltpu.roll(sl, 1, 2)[:, :, 0:1].astype(pdt)       # its lane 7
+    sr0 = (pltpu.roll(ysum, G - 1, 1)
+           * (gidx < G - 1))[:, :, 0:1].astype(pdt)         # g+1, lane 0
+    ysc = ysum.astype(pdt)
     eparts = []
     for dyb in range(3):
-        ts = ysum_gp[dyb:dyb + R + 2]
-        eparts.append(jnp.concatenate(
-            [ts[:, 0:G, 7:8], ts[:, 1:G + 1, :], ts[:, 2:G + 2, 0:1]],
-            axis=-1))                                       # (R+2, G, 10)
+        eparts += [sl7[dyb:dyb + R + 2], ysc[dyb:dyb + R + 2],
+                   sr0[dyb:dyb + R + 2]]                    # 1 + 8 + 1 lanes
     eparts.append(jnp.zeros((R + 2, G, _LANE - 30), pdt))
     ep = jnp.concatenate(eparts, axis=-1)
     e = jnp.dot(ep.reshape((R + 2) * G, _LANE), wb3[:].astype(pdt),
                 preferred_element_type=jnp.float32)
     e = e.reshape(R + 2, G, 8 * _E) + bev[:][0]
 
-    # ---- y2 = y + e (rows -1..R of the block), masked + group-padded -----
-    y2 = yg[1:R + 3].astype(jnp.float32) + e
+    # ---- y2 = y + e (rows -1..R of the block), masked -------------------
+    y2f = yg[1:R + 3].astype(jnp.float32) + e               # (R+2, G, 192)
     u = jax.lax.broadcasted_iota(jnp.int32, (R + 2, G, 1), 0) + (row0 - 1)
-    y2 = (y2 * ((u >= 0) & (u < H)).astype(y2.dtype)).astype(pdt)
-    zg2 = jnp.zeros((R + 2, 1, 8 * _E), pdt)
-    y2gp = jnp.concatenate([zg2, y2, zg2], axis=1)          # (R+2, G+2, 192)
-    y2gp = jnp.concatenate(
-        [y2gp, jnp.zeros((6, G + 2, 8 * _E), pdt)], axis=0)
+    y2f = y2f * ((u >= 0) & (u < H)).astype(y2f.dtype)
+    # group-neighbor halos by roll (f32; see the eparts comment): the
+    # left group's px-7 channel block (lanes 168:191) rolled to 0:23, and
+    # the right group's px-0 block already at 0:23.
+    l24 = pltpu.roll(pltpu.roll(y2f, 1, 1) * (gidx > 0),
+                     _E, 2)[:, :, 0:_E].astype(pdt)
+    r24 = (pltpu.roll(y2f, G - 1, 1)
+           * (gidx < G - 1))[:, :, 0:_E].astype(pdt)
+    y2 = y2f.astype(pdt)
 
     # ---- conv3 as 5x8-px-block patch matmul ------------------------------
     # K = 240*dy + 24*q + m over a 7-row x 10-px x 24-ch window; the
-    # stride-5 row pick uses the slice->reshape->[:,0] trick (free on the
-    # outer dim).
+    # stride-5 row pick uses the slice->reshape->[:, 0] trick (free on the
+    # outer, non-tiled dim).  Rows are zero-extended by 6 so every dy
+    # slice is in range (dim-0 concat: offset-free).
+    y2 = jnp.concatenate([y2, jnp.zeros((6, G, 8 * _E), pdt)], axis=0)
+    l24 = jnp.concatenate([l24, jnp.zeros((6, G, _E), pdt)], axis=0)
+    r24 = jnp.concatenate([r24, jnp.zeros((6, G, _E), pdt)], axis=0)
+
+    def _pick5(a, dy):
+        return a[dy:dy + R].reshape(R // 5, 5, G, a.shape[-1])[:, 0]
+
     parts3 = []
     for dy in range(7):
-        tt = y2gp[dy:dy + R].reshape(R // 5, 5, G + 2, 8 * _E)[:, 0]
-        parts3.append(jnp.concatenate(
-            [tt[:, 0:G, 168:192], tt[:, 1:G + 1, :], tt[:, 2:G + 2, 0:_E]],
-            axis=-1))                                       # (R//5, G, 240)
+        parts3 += [_pick5(l24, dy), _pick5(y2, dy), _pick5(r24, dy)]
     parts3.append(jnp.zeros((R // 5, G, 112), pdt))
     p3 = jnp.concatenate(parts3, axis=-1)
     z = jnp.dot(p3.reshape(R // 5 * G, 1792), w3p[:].astype(pdt),
@@ -231,19 +250,21 @@ def _csum_selector() -> np.ndarray:
 
 def _conv2_patches(x, H, W, G, dtype):
     """Host/XLA-side overlapped-group im2col for conv2 (fallback A):
-    p2[b, r, g, 30*ky + 3*dx + c] = x_pad3[b, r + ky, 8g + dx, c]
+    p2[b, r, g, 9*dx + 3*ky + c] = x_pad[b, r + ky, 8g + dx - 1, c]
     over output rows r in -2..H+1 (so the kernel needs no lane-split
-    reshapes to build patches).  Costs one extra HBM pass over a
-    (B, H+4, G, 128) tensor (~1.4 GB/batch-128 @640 — measured cheaper
-    than losing the kernel to a Mosaic rejection, ROUND2.md fallback A)."""
+    reshapes to build patches).  Built from contiguous reshapes only —
+    the first cut's stride-8 slices forced 42x-padded relayout copies
+    (1.57 GB each, OOM at batch 128; measured 2026-08-19).  The two
+    shifted reshapes cover dx 0..7 and 8..9 with zero relayout.  Costs
+    one extra HBM pass over a (B, H+4, G, 128) tensor (~1.4 GB/batch-128
+    @640 — cheaper than losing the kernel, ROUND2.md fallback A)."""
     B = x.shape[0]
-    xp = jnp.pad(x.astype(dtype), ((0, 0), (3, 3), (1, 1), (0, 0)))
-    parts = []
-    for ky in range(3):
-        for dx in range(10):
-            sl = xp[:, ky:ky + H + 4, dx::8, :][:, :, :G, :]
-            parts.append(sl)
-    p2 = jnp.concatenate(parts, axis=-1)          # (B, H+4, G, 90)
+    xp = jnp.pad(x.astype(dtype), ((0, 0), (3, 3), (1, 9), (0, 0)))
+    xr = jnp.concatenate([xp[:, ky:ky + H + 4] for ky in range(3)],
+                         axis=-1)                 # (B, H+4, W+10, 9)
+    r1 = xr[:, :, 0:W].reshape(B, H + 4, G, 8, 9)           # dx 0..7
+    r2 = xr[:, :, 8:W + 8].reshape(B, H + 4, G, 8, 9)[:, :, :, 0:2]
+    p2 = jnp.concatenate([r1, r2], axis=3).reshape(B, H + 4, G, 90)
     return jnp.pad(p2, ((0, 0), (0, 0), (0, 0), (0, _LANE - 90)))
 
 

@@ -95,3 +95,19 @@ def quantized_variables(variables, quant_collection) -> dict:
     out = dict(variables)
     out["quant"] = quant_collection
     return out
+
+
+def make_quant_deploy(model, variables, calib_batches):
+    """One-call deploy quantization: fold BN if present, calibrate the
+    activation scales on ``calib_batches`` (iterable of (rgb, ir) float
+    0..1 pairs; ir None for single-stream), and return
+    ``(quant_model, quant_variables)`` ready for ``apply``.
+
+    The user-facing entry behind the val/detect ``--int8`` flags."""
+    from mmidet_tpu.nn.fuse import fold_batchnorm
+    folded = fold_batchnorm(variables) if "batch_stats" in variables \
+        else variables
+    f_model = model.clone(fused=True, quant=False)
+    q_model = model.clone(fused=True, quant=True)
+    qcol = calibrate_act_scales(f_model, folded, calib_batches)
+    return q_model, quantized_variables(folded, qcol)

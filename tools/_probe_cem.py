@@ -68,8 +68,11 @@ def timeit(fn, xx):
     return best / ITERS * 1e3
 
 
+print("timing xla...", flush=True)
 t_xla = timeit(xla_fn, x)
+print(f"xla={t_xla:.2f}ms; timing kernel...", flush=True)
 t_ker = timeit(ker_fn, x)
+print(f"kernel={t_ker:.2f}ms; checking exactness...", flush=True)
 a = np.asarray(xla_fn(x), np.float32)
 b = np.asarray(ker_fn(x), np.float32)
 err = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
