@@ -52,6 +52,15 @@ def test_val_cli(data_yaml):
     assert 0.0 <= res.map50 <= 1.0
 
 
+def test_val_cli_int8(data_yaml):
+    """--int8 (s8-storage quantized deploy, nn/quant.make_quant_deploy)
+    runs the full val pipeline and stays sane vs float."""
+    from mmidet_tpu.cli.val import main
+    res = main(["--cfg", "yolov5s_add", "--data", data_yaml,
+                "--batch-size", "2", "--img-size", "64", "--int8"])
+    assert 0.0 <= res.map50 <= 1.0
+
+
 def test_export_cli(tmp_path):
     """mmidet-export writes a loadable deploy bundle (ref export.py:24-127)."""
     from mmidet_tpu.deploy.export import main, load_deploy_bundle
