@@ -256,6 +256,37 @@ def serve(service, host: str = "0.0.0.0", port: int = 5000,
     srv.serve_forever()
 
 
+def _calibrate_int8(model, variables, rgb_dir: str, ir_dir: str,
+                    img_size: int, max_images: int = 4):
+    """Startup calibration for the s8-storage quantized serving mode:
+    letterbox up to ``max_images`` pairs from the calib dirs and hand them
+    to ``nn.quant.make_quant_deploy``.  Calibration images should match
+    the serving distribution (per-tensor absmax scales)."""
+    import os
+
+    from PIL import Image
+
+    if not rgb_dir or not ir_dir:
+        raise SystemExit("--int8 requires --calib-rgb and --calib-ir "
+                         "(a few representative paired images)")
+    from mmidet_tpu.nn.quant import make_quant_deploy
+
+    def _load(d):
+        fs = sorted(os.path.join(d, f) for f in os.listdir(d)
+                    if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")))
+        assert fs, f"no images in {d}"
+        out = []
+        for f in fs[:max_images]:
+            lb, _, _ = letterbox_np(np.asarray(Image.open(f).convert("RGB")),
+                                    (img_size, img_size))
+            out.append(lb.astype(np.float32) / 255.0)
+        return jnp.asarray(np.stack(out))
+
+    rgb, ir = _load(rgb_dir), _load(ir_dir)
+    n = min(rgb.shape[0], ir.shape[0])
+    return make_quant_deploy(model, variables, [(rgb[:n], ir[:n])])
+
+
 def main(argv=None):
     """Serve CLI: ``python -m mmidet_tpu.deploy.serve --cfg yolov5l_fourier
     --weights runs/exp/ckpt/deploy --names People Car ...``"""
@@ -279,11 +310,21 @@ def main(argv=None):
                    help="max time to hold a request while batching")
     p.add_argument("--no-batching", action="store_true",
                    help="single-request mode (the reference's behavior)")
+    p.add_argument("--int8", action="store_true",
+                   help="s8-storage quantized deploy (activations cross "
+                        "HBM as int8; requires --calib-rgb/--calib-ir)")
+    p.add_argument("--calib-rgb", type=str, default="",
+                   help="dir of RGB images for --int8 scale calibration")
+    p.add_argument("--calib-ir", type=str, default="",
+                   help="dir of IR images paired with --calib-rgb")
     args = p.parse_args(argv)
 
     from mmidet_tpu.cli.val import load_model_and_vars
     model, variables, spec = load_model_and_vars(
         args.cfg, args.weights, nc=args.nc)
+    if args.int8:
+        model, variables = _calibrate_int8(
+            model, variables, args.calib_rgb, args.calib_ir, args.img_size)
     names = args.names or [str(i) for i in range(args.nc)]
     if args.no_batching:
         service = DetectionService(model, variables, names,

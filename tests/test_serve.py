@@ -152,3 +152,38 @@ def test_batched_concurrent_requests(batch_server):
             np.testing.assert_allclose(
                 [d["confidence"] for d in direct],
                 [r["confidence"] for r in results[k]], rtol=1e-4)
+
+
+def test_int8_serving(tmp_path):
+    """--int8 serving: startup calibration from paired image dirs
+    (serve._calibrate_int8) -> quantized DetectionService end-to-end."""
+    from PIL import Image
+    from mmidet_tpu.cli.val import load_model_and_vars
+    from mmidet_tpu.deploy.serve import DetectionService, _calibrate_int8
+
+    rng = np.random.default_rng(3)
+    rdir, idir = tmp_path / "rgb", tmp_path / "ir"
+    rdir.mkdir(); idir.mkdir()
+    for k in range(2):
+        img = (rng.random((40, 40, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(rdir / f"{k}.png")
+        Image.fromarray(255 - img).save(idir / f"{k}.png")
+
+    model, variables, _ = load_model_and_vars("yolov5s_add", "", nc=2,
+                                              use_cem=False)
+    q_model, q_vars = _calibrate_int8(model, variables, str(rdir),
+                                      str(idir), img_size=32)
+    assert "quant" in q_vars
+    svc = DetectionService(q_model, q_vars, ["a", "b"], img_size=32,
+                           conf_thres=1e-4)
+    img = (rng.random((48, 64, 3)) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "PNG")
+    recs = svc.predict(buf.getvalue(), buf.getvalue())
+    assert isinstance(recs, list)
+
+
+def test_int8_serving_requires_calib_dirs():
+    from mmidet_tpu.deploy.serve import _calibrate_int8
+    with pytest.raises(SystemExit):
+        _calibrate_int8(None, None, "", "", 32)
