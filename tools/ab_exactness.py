@@ -73,6 +73,8 @@ def main():
     ap.add_argument("--img", type=int, default=128)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--seeds", type=int, default=1)
+    ap.add_argument("--seed-base", type=int, default=0,
+                    help="first seed (arms run seeds seed_base..+seeds-1)")
     ap.add_argument("--scale", type=str, default="t")
     ap.add_argument("--n-train", type=int, default=16)
     ap.add_argument("--dtype", type=str, default="bfloat16")
@@ -89,7 +91,7 @@ def main():
     results = {}
     for arm in ("exact", "legacy"):
         per_seed = []
-        for seed in range(args.seeds):
+        for seed in range(args.seed_base, args.seed_base + args.seeds):
             r = run_arm(arm, yaml_path, args, seed)
             per_seed.append(r)
             print(f"[{arm} seed {seed}] mAP50={r['map50']:.4f} "
