@@ -228,8 +228,12 @@ def _probe_tpu(timeout: int) -> str | None:
 def main():
     timeout = int(os.environ.get("BENCH_TIMEOUT", "2400"))
     probe_timeout = int(os.environ.get("BENCH_PROBE_TIMEOUT", "120"))
-    retries = int(os.environ.get("BENCH_RETRIES", "2"))
-    backoff = int(os.environ.get("BENCH_BACKOFF", "60"))
+    # the axon relay flaps in 30-60 min windows (observed 2026-08-19):
+    # enough probe-gated retries to span the total budget, so a bench
+    # started mid-outage still catches the next up-window.  Each failed
+    # probe costs probe_timeout + backoff; the budget is the real bound.
+    retries = int(os.environ.get("BENCH_RETRIES", "10"))
+    backoff = int(os.environ.get("BENCH_BACKOFF", "90"))
     budget = int(os.environ.get("BENCH_TOTAL_BUDGET", "3600"))
     t_start = time.monotonic()
 
