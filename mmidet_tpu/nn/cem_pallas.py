@@ -39,6 +39,14 @@ conv3 sees true zero padding (NOT leaky(bias) halo values).
 
 Reference for the measured XLA floor this replaces: PERF.md "Where the
 time goes" (CEM 17.7 ms = conv2 ~6 + conv3 ~11 standalone).
+
+HARDWARE VERDICT (2026-08-19, PERF.md "CEM fallback kernel"): after the
+Mosaic-safe rewrite (roll-based halo gathers, contiguous-reshape host
+im2col) the kernel compiles and runs at the bench config and LOSES 3.5x
+to the XLA path (59.86 vs 16.90 ms, batch 128 @640) — the roll chains
+and selector matmuls cost more than the MXU-padding they avoid.  Kept
+in-tree with its exactness tests as the probe record; ``pallas_cem``
+stays off in every deploy path.
 """
 
 from __future__ import annotations
