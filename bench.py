@@ -166,15 +166,26 @@ def _measure():
     record = _measure_variant(variant, batch, with_nms)
 
     # also capture the reference's lighter shipped yolov5s_fusion_add
-    # variant inside the SAME driver invocation (staged under its own
-    # metric name; the headline stays gpt4).  Best-effort: the headline
-    # must survive a variant-side failure.
-    if variant == "gpt4" and os.environ.get("BENCH_ADD_VARIANT", "1") == "1":
-        try:
-            _measure_variant("add", batch, with_nms)
-        except Exception as e:  # noqa: BLE001 — headline already staged
-            print(f"add-variant capture failed (headline unaffected): {e}",
-                  file=sys.stderr)
+    # variant and the opt-in s8-storage quant mode inside the SAME driver
+    # invocation (staged under their own metric names; the headline stays
+    # bf16 gpt4).  Best-effort: the headline must survive a variant-side
+    # failure.
+    if variant == "gpt4" and os.environ.get("BENCH_QUANT", "0") != "1":
+        if os.environ.get("BENCH_ADD_VARIANT", "1") == "1":
+            try:
+                _measure_variant("add", batch, with_nms)
+            except Exception as e:  # noqa: BLE001 — headline already staged
+                print(f"add-variant capture failed (headline unaffected): "
+                      f"{e}", file=sys.stderr)
+        if os.environ.get("BENCH_QUANT_VARIANT", "1") == "1":
+            try:
+                os.environ["BENCH_QUANT"] = "1"
+                _measure_variant("gpt4", batch, with_nms=False)
+            except Exception as e:  # noqa: BLE001
+                print(f"quant capture failed (headline unaffected): {e}",
+                      file=sys.stderr)
+            finally:
+                os.environ["BENCH_QUANT"] = "0"
 
     print(json.dumps(record))
 

@@ -113,6 +113,100 @@ class EnhanceConv(nn.Module):
         return y * factor.astype(self.dtype) + bias.astype(self.dtype)
 
 
+def _tail_reference(y, factor, bias_s, w3, b3, *, dtype=jnp.float32):
+    """The CEM tail exactly as the unfused graph computes it: edge bank ->
+    add -> conv3(+bias), PRE-leaky/residual.  Used to recompute the 1-px
+    border ring of the composed path (and as the oracle in tests)."""
+    c2 = y.shape[-1]
+    bank8 = jnp.asarray(edge_filter_bank(8, 1, 3), dtype)
+    xsum = jnp.sum(y, axis=-1, keepdims=True)
+    g = jax.lax.conv_general_dilated(
+        xsum, bank8, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dtype)
+    e = jnp.tile(g, (1, 1, 1, c2 // 8)) * factor.astype(dtype) \
+        + bias_s.astype(dtype)
+    u = y + e
+    z = jax.lax.conv_general_dilated(
+        u, w3.astype(dtype), window_strides=(1, 1),
+        padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dtype)
+    return z + b3.astype(dtype)
+
+
+def compose_tail_kernel(factor, bias_s, w3, b3):
+    """Collapse the linear CEM tail into ONE 5x5 conv kernel + bias.
+
+    Between the two leaky-relus the tail is linear in ``y``:
+      z = SamePad3(y + tile(SamePad3(sum_j y_j, bank)) * factor + bias_s,
+                   w3) + b3
+    Cross-correlation composition: with offsets a (outer w3) and q (inner
+    bank), the bank leg contributes K5[a+q, j, o] = sum_m wf[a,m,o] *
+    bank[q,m] identically for every input channel j (the channel sum), and
+    the direct leg embeds w3 at the 5x5 center.  The constant ``bias_s``
+    leg folds into the bias (interior value; border deviation handled by
+    the caller's ring recomputation).  Returns (K_comp (5,5,C2,3),
+    b_total (3,)) in f32.
+    """
+    c2, co = w3.shape[2], w3.shape[3]
+    bank8 = jnp.asarray(
+        np.asarray(edge_filter_bank(8, 1, 3))[:, :, 0, :])     # (3,3,8)
+    w3 = w3.astype(jnp.float32)
+    factor = factor.astype(jnp.float32)
+    # wf[a, m, o] = sum_{j: j%8==m} w3[a, j, o] * factor[j]
+    wf = (w3 * factor[None, None, :, None]).reshape(
+        3, 3, c2 // 8, 8, co).sum(axis=2)                      # (3,3,8,co)
+    k5 = jnp.zeros((5, 5, co), jnp.float32)
+    for ai in range(3):
+        for aj in range(3):
+            # offset addition: outer tap (ai,aj) shifts the inner 3x3 block
+            k5 = k5.at[ai:ai + 3, aj:aj + 3].add(jnp.einsum(
+                "qrm,mo->qro", bank8, wf[ai, aj]))
+    k_comp = jnp.broadcast_to(k5[:, :, None, :], (5, 5, c2, co))
+    k_comp = k_comp.at[1:4, 1:4].add(w3)
+    b_total = b3.astype(jnp.float32) + jnp.einsum(
+        "hwjo,j->o", w3, bias_s.astype(jnp.float32))
+    return k_comp, b_total
+
+
+def tail_composed(y, factor, bias_s, w3, b3, *, dtype=jnp.float32):
+    """CEM tail as ONE 5x5 conv + exact 1-px border-ring recomputation.
+
+    The composed kernel assumes the bank's intermediate products extend
+    past the image border (no zero-truncation of the inner conv's output)
+    and that the constant bias_s leg is at its interior value — both only
+    wrong on the outermost output ring.  Each border row/col is therefore
+    recomputed with the reference tail on a 3-wide strip: the strip's
+    outer zero-padding coincides with the real one, and its inner
+    (cut-edge) padding error only reaches strip outputs we discard.
+
+    Hardware verdict (tools/_probe_cem_compose.py, v5e, batch 128 @640
+    bf16): LOSS, 20.70 ms vs 19.04 ms plain.  The byte saving (~10 GB ->
+    ~3 GB of intermediates) is real, but at co=3 the conv is lane-padding
+    flops-bound on the MXU and the composed kernel nearly triples K per
+    pixel (600 vs 216) — exactly the padded-MXU model's prediction
+    (PERF.md "CEM is at its floor").  Kept (exact + tested) for wider-
+    channel CEM variants where co amortizes the padding; NOT the default.
+    """
+    k_comp, b_total = compose_tail_kernel(factor, bias_s, w3, b3)
+    z = jax.lax.conv_general_dilated(
+        y, k_comp.astype(dtype), window_strides=(1, 1),
+        padding=[(2, 2), (2, 2)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dtype)
+    z = z + b_total.astype(dtype)
+
+    def ring(strip):
+        return _tail_reference(strip, factor, bias_s, w3, b3, dtype=dtype)
+
+    z = z.at[:, :1].set(ring(y[:, :3])[:, :1])
+    z = z.at[:, -1:].set(ring(y[:, -3:])[:, -1:])
+    z = z.at[:, :, :1].set(ring(y[:, :, :3])[:, :, :1])
+    z = z.at[:, :, -1:].set(ring(y[:, :, -3:])[:, :, -1:])
+    return z
+
+
 class _ConvP(nn.Module):
     """Param-mirror of nn.Conv(use_bias=True) — declares the same tree
     ({kernel, bias}) and returns the values (the fused-CEM kernel path
@@ -147,12 +241,18 @@ class ContourEnhance(nn.Module):
     """CEM: expand x8 -> edge bank -> add -> reduce -> residual.
     Ref: AdaptiveModule3, common.py:751-803 (conv/bn/leaky-relu 0.1).
     ``fused=True``: BN folded into conv kernel+bias (deploy mode).
+    ``compose_tail=True`` (opt-in; measured LOSS at the deploy config —
+    see ``tail_composed``): the linear bank->add->conv3 tail runs as ONE
+    composed 5x5 conv with exact border-ring recomputation —
+    mathematically identical, but the full-res 24-ch ``u`` and 8-ch bank
+    intermediates never cross HBM.
     ``use_pallas=True`` (deploy only): the whole module runs as one fused
     Pallas kernel (``mmidet_tpu.nn.cem_pallas``) — same param tree via
     mirrors, so checkpoints and the torch converter are unaffected."""
     channels: int = 3
     fused: bool = False
     use_pallas: bool = False
+    compose_tail: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -181,6 +281,12 @@ class ContourEnhance(nn.Module):
                              momentum=BN_MOMENTUM, epsilon=BN_EPS,
                              dtype=self.dtype, name="bn2")(y)
         y = jax.nn.leaky_relu(y, 0.1)
+        if self.fused and self.compose_tail and not train:
+            sb = _SobelP(c * 8, name="sobel")()
+            c3 = _ConvP(c, c * 8, name="conv3")()
+            z = tail_composed(y, sb["sobel_factor"], sb["bias"],
+                              c3["kernel"], c3["bias"], dtype=self.dtype)
+            return jax.nn.leaky_relu(z, 0.1) + x
         e = EnhanceConv(c * 8, dtype=self.dtype, name="sobel")(y)
         y = y + e
         y = nn.Conv(c, (3, 3), padding=[(1, 1), (1, 1)],
