@@ -1,22 +1,30 @@
 """Throughput benchmark: paired 640px VIS-IR inference on the real chip.
 
 North-star metric (BASELINE.md): >= 2000 paired 640px img/s/chip at
-yolov5s-twostream.  Prints ONE JSON line:
+yolov5s-twostream.  Prints ONE JSON line (the driver parses the LAST
+stdout line):
   {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N}
 
 Robustness (this file is the round's official perf evidence channel —
-round 1 lost its record to a tunnel outage, BENCH_r01.json rc=1):
+round 1 lost its record to a tunnel outage, round 3 lost it to the
+driver's timeout outlasting bench's own retry budget, BENCH_r03.json
+rc=124 parsed=null):
 
   * the parent process NEVER imports jax — when the axon relay is down,
     ``import jax`` itself hangs in every process (sitecustomize dials the
     dead relay), so all jax work happens in a child subprocess under a
     hard timeout;
-  * bounded retry with backoff on child failure/timeout (tunnel hiccups
-    are transient; full outages are not — we give up after BENCH_RETRIES);
+  * the FAILURE path is bounded well under any plausible driver window:
+    probe 30 s, <=3 attempts, 20 s backoff, 300 s total budget (~150 s
+    worst case dead-relay);
+  * a machine-readable provisional record (value 0.0 + the most recent
+    staged measurement flagged stale) is printed IMMEDIATELY at the first
+    probe failure — and again before the first long-running measurement
+    child — so a driver kill at ANY later point still leaves a parseable
+    last line on stdout; a successful measurement then overwrites it by
+    printing the fresh record as the new last line;
   * the child stages each measured config to BENCH_partial.json AS
-    MEASURED, so a mid-run crash still leaves a parseable record;
-  * on total failure the parent emits a machine-readable error record in
-    the same one-line-JSON shape (value 0.0) instead of a traceback.
+    MEASURED, so a mid-run crash still leaves a parseable record.
 
 The measured program is the full detector forward (bf16, NHWC, BN folded)
 including the on-device Detect decode; NMS timing is reported separately
@@ -24,6 +32,16 @@ on stderr (the reference also reports an inference/NMS split,
 test.py:261-263).  Timing is an on-device lax.scan loop whose carry feeds
 the inputs — per-call dispatch + host sync over the tunnel would otherwise
 dominate (~2.4 ms/op), and a carry-independent body would be hoisted.
+
+Captured in one driver invocation (each staged under its own stable
+metric name; the headline stays bf16 gpt4-s):
+  * yolov5s_twostream_640_paired_inference          (headline, batch 128)
+  * yolov5s_twostream_add_640_paired_inference      (reference's shipped
+    fusion_add variant)
+  * yolov5s_twostream_640_paired_inference_s8       (opt-in s8-storage
+    deploy mode, nn/quant.py)
+  * yolov5l_fuse3_fourier_640_paired_inference      (the paper's headline
+    model, reference train.py:950 default cfg)
 """
 
 from __future__ import annotations
@@ -40,16 +58,21 @@ _VARIANT = os.environ.get("BENCH_VARIANT", "gpt4")
 # stage under their own name
 METRIC = "yolov5s_twostream_640_paired_inference" if _VARIANT == "gpt4" \
     else f"yolov5s_twostream_{_VARIANT}_640_paired_inference"
-PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "BENCH_partial.json")
+PARTIAL_PATH = os.environ.get(
+    "BENCH_PARTIAL_PATH",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "BENCH_partial.json"))
 
 
-def _metric_name(variant: str) -> str:
+def _metric_name(variant: str, scale: str = "s") -> str:
+    if scale == "l":
+        return f"yolov5l_fuse3_{variant}_640_paired_inference"
     return ("yolov5s_twostream_640_paired_inference" if variant == "gpt4"
             else f"yolov5s_twostream_{variant}_640_paired_inference")
 
 
-def _measure_variant(variant: str, batch: int, with_nms: bool) -> dict:
+def _measure_variant(variant: str, batch: int, with_nms: bool, *,
+                     scale: str = "s", quant: bool = False) -> dict:
     """Measure one two-stream variant on the real chip; stages the record
     to BENCH_partial.json as measured and returns it."""
     import jax
@@ -62,19 +85,18 @@ def _measure_variant(variant: str, batch: int, with_nms: bool) -> dict:
     from mmidet_tpu.ops.nms import non_max_suppression
 
     img = 640
-    spec = two_stream_spec("s", variant, nc=6)
+    spec = two_stream_spec(scale, variant, nc=6)
     # deploy configuration: bf16, BN folded into convs (fuse_conv_and_bn
     # parity), batch sized to saturate the chip
     base = TwoStreamDetector(spec=spec, aux_mode="off", dtype=jnp.bfloat16)
-    # BENCH_QUANT=1: s8-storage conv stack (activations cross HBM as int8,
+    # quant=True: s8-storage conv stack (activations cross HBM as int8,
     # calibrated scales; nn/quant.py) — staged under a _s8 metric suffix
-    use_quant = os.environ.get("BENCH_QUANT", "0") == "1"
     model = TwoStreamDetector(
         spec=spec, aux_mode="off", fused=True, pallas_fusion=True,
         # the fused CEM kernel is probe-gated: flip on via env once
         # tools/_probe_cem.py has validated the Mosaic compile on hardware
         pallas_cem=os.environ.get("BENCH_PALLAS_CEM", "0") == "1",
-        quant=use_quant, dtype=jnp.bfloat16)
+        quant=quant, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     rgb = jax.random.uniform(rng, (batch, img, img, 3), jnp.bfloat16)
     ir = jax.random.uniform(rng, (batch, img, img, 3), jnp.bfloat16)
@@ -88,7 +110,7 @@ def _measure_variant(variant: str, batch: int, with_nms: bool) -> dict:
     variables = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
         variables)
-    if use_quant:
+    if quant:
         from mmidet_tpu.nn.quant import (calibrate_act_scales,
                                          quantized_variables)
         calib_model = TwoStreamDetector(spec=spec, aux_mode="off",
@@ -118,7 +140,7 @@ def _measure_variant(variant: str, batch: int, with_nms: bool) -> dict:
     img_s = batch * iters / dt
 
     record = {
-        "metric": _metric_name(variant) + ("_s8" if use_quant else ""),
+        "metric": _metric_name(variant, scale) + ("_s8" if quant else ""),
         "value": round(img_s, 1),
         "unit": "img/s",
         "vs_baseline": round(img_s / BASELINE_IMG_S, 3),
@@ -144,7 +166,8 @@ def _measure_variant(variant: str, batch: int, with_nms: bool) -> dict:
     _stage_partial(dict(record, batch=batch, ms_per_img=round(1e3 / img_s, 3),
                         nms_ms_per_img=round(nms_ms, 3),
                         device=jax.devices()[0].device_kind))
-    print(f"[{variant}] inference: {1e3 / img_s:.2f} ms/img, "
+    print(f"[{scale}/{variant}{'/s8' if quant else ''}] inference: "
+          f"{1e3 / img_s:.2f} ms/img, "
           f"nms: {nms_ms:.2f} ms/img (-1 = skipped), batch={batch}, "
           f"device={jax.devices()[0].device_kind}", file=sys.stderr)
     return record
@@ -163,31 +186,38 @@ def _measure():
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     variant = os.environ.get("BENCH_VARIANT", "gpt4")
     with_nms = os.environ.get("BENCH_NMS", "1") == "1"
-    record = _measure_variant(variant, batch, with_nms)
+    headline_quant = os.environ.get("BENCH_QUANT", "0") == "1"
+    record = _measure_variant(variant, batch, with_nms, quant=headline_quant)
 
     # also capture the reference's lighter shipped yolov5s_fusion_add
-    # variant and the opt-in s8-storage quant mode inside the SAME driver
-    # invocation (staged under their own metric names; the headline stays
-    # bf16 gpt4).  Best-effort: the headline must survive a variant-side
+    # variant, the opt-in s8-storage quant mode, and the paper's headline
+    # yolov5l fuse3-fourier model inside the SAME driver invocation
+    # (staged under their own metric names; the headline stays bf16
+    # gpt4-s).  Best-effort: the headline must survive a variant-side
     # failure.
-    if variant == "gpt4" and os.environ.get("BENCH_QUANT", "0") != "1":
-        if os.environ.get("BENCH_ADD_VARIANT", "1") == "1":
-            try:
-                _measure_variant("add", batch, with_nms)
-            except Exception as e:  # noqa: BLE001 — headline already staged
-                print(f"add-variant capture failed (headline unaffected): "
-                      f"{e}", file=sys.stderr)
-        if os.environ.get("BENCH_QUANT_VARIANT", "1") == "1":
-            try:
-                os.environ["BENCH_QUANT"] = "1"
-                _measure_variant("gpt4", batch, with_nms=False)
-            except Exception as e:  # noqa: BLE001
-                print(f"quant capture failed (headline unaffected): {e}",
-                      file=sys.stderr)
-            finally:
-                os.environ["BENCH_QUANT"] = "0"
+    def _try(label, fn):
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — headline already staged
+            print(f"{label} capture failed (headline unaffected): {e}",
+                  file=sys.stderr)
 
-    print(json.dumps(record))
+    if variant == "gpt4" and not headline_quant:
+        if os.environ.get("BENCH_ADD_VARIANT", "1") == "1":
+            _try("add-variant",
+                 lambda: _measure_variant("add", batch, with_nms))
+        if os.environ.get("BENCH_QUANT_VARIANT", "1") == "1":
+            _try("quant", lambda: _measure_variant(
+                "gpt4", batch, with_nms=False, quant=True))
+        if os.environ.get("BENCH_FLAGSHIP_VARIANT", "1") == "1":
+            # best measured operating point for the 208M-param flagship is
+            # batch 128 (PERF.md "Paper-flagship throughput": 546 img/s;
+            # batch 32 under-fills the chip at 421)
+            _try("flagship", lambda: _measure_variant(
+                "fourier", int(os.environ.get("BENCH_FLAGSHIP_BATCH", "128")),
+                with_nms, scale="l"))
+
+    print(json.dumps(record), flush=True)
 
 
 def _stage_partial(record: dict) -> None:
@@ -236,17 +266,50 @@ def _probe_tpu(timeout: int) -> str | None:
     return None
 
 
+def _error_record(reason: str) -> dict:
+    """Machine-readable failure record in the one-line-JSON shape.  If a
+    previous successful measurement was staged, surface it (flagged as
+    stale) so the round is not recorded as zero-evidence."""
+    record = {
+        "metric": METRIC,
+        "value": 0.0,
+        "unit": "img/s",
+        "vs_baseline": 0.0,
+        "error": reason,
+    }
+    prev = _last_partial()
+    if prev is not None:
+        record["stale_previous_measurement"] = {
+            "value": prev["value"], "ts": prev.get("ts")}
+    return record
+
+
 def main():
-    timeout = int(os.environ.get("BENCH_TIMEOUT", "2400"))
-    probe_timeout = int(os.environ.get("BENCH_PROBE_TIMEOUT", "120"))
-    # the axon relay flaps in 30-60 min windows (observed 2026-08-19):
-    # enough probe-gated retries to span the total budget, so a bench
-    # started mid-outage still catches the next up-window.  Each failed
-    # probe costs probe_timeout + backoff; the budget is the real bound.
-    retries = int(os.environ.get("BENCH_RETRIES", "10"))
-    backoff = int(os.environ.get("BENCH_BACKOFF", "90"))
-    budget = int(os.environ.get("BENCH_TOTAL_BUDGET", "3600"))
+    # Failure-path wall-clock is bounded WELL under the driver's window
+    # (round 3: the driver killed bench at ~16 min mid-retry and the record
+    # was never printed).  Worst case dead relay: 3 x (30 s probe + 20 s
+    # backoff) = 150 s, then the final record.  The measurement child gets
+    # a larger window (compile + 4 variants), but a provisional record is
+    # already on stdout before it launches, so a driver kill mid-child
+    # still leaves a parseable last line.
+    timeout = int(os.environ.get("BENCH_TIMEOUT", "900"))
+    probe_timeout = int(os.environ.get("BENCH_PROBE_TIMEOUT", "30"))
+    retries = int(os.environ.get("BENCH_RETRIES", "2"))
+    backoff = int(os.environ.get("BENCH_BACKOFF", "20"))
+    budget = int(os.environ.get("BENCH_TOTAL_BUDGET", "300"))
     t_start = time.monotonic()
+
+    provisional_emitted = False
+
+    def _emit_provisional(reason: str) -> None:
+        # printed at most once, immediately at the first failure (or just
+        # before the first long-running child) — the driver parses the
+        # LAST stdout line, so a later success line supersedes this one
+        nonlocal provisional_emitted
+        if provisional_emitted:
+            return
+        provisional_emitted = True
+        print(json.dumps(_error_record(reason)), flush=True)
 
     last_err = "unknown"
     for attempt in range(retries + 1):
@@ -259,9 +322,13 @@ def main():
         if probe_err is not None:
             last_err = probe_err
             print(f"bench attempt {attempt + 1}: {last_err}", file=sys.stderr)
+            _emit_provisional(f"provisional (attempt {attempt + 1}): "
+                              + last_err)
             if attempt < retries:
                 time.sleep(backoff)
             continue
+        _emit_provisional("provisional: measurement child launched "
+                          "(overwritten by the fresh record on success)")
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--child",
@@ -274,7 +341,7 @@ def main():
             sys.stderr.write(proc.stderr[-4000:])
             out = [ln for ln in proc.stdout.splitlines() if ln.strip()]
             if proc.returncode == 0 and out:
-                print(out[-1])  # the one JSON line
+                print(out[-1], flush=True)  # the one fresh JSON line (last)
                 return
             last_err = (f"rc={proc.returncode}: "
                         + (proc.stderr.strip().splitlines()[-1]
@@ -284,21 +351,11 @@ def main():
         if attempt < retries:
             time.sleep(backoff)
 
-    # all attempts failed: emit a machine-readable record, not a traceback.
-    # If a previous successful measurement was staged, surface it (flagged
-    # as stale) so the round is not recorded as zero-evidence.
-    prev = _last_partial()
-    record = {
-        "metric": METRIC,
-        "value": 0.0,
-        "unit": "img/s",
-        "vs_baseline": 0.0,
-        "error": f"tpu unavailable after {retries + 1} attempts: {last_err}",
-    }
-    if prev is not None:
-        record["stale_previous_measurement"] = {
-            "value": prev["value"], "ts": prev.get("ts")}
-    print(json.dumps(record))
+    # all attempts failed: the final record (supersedes the provisional —
+    # same shape, fresher reason)
+    print(json.dumps(_error_record(
+        f"tpu unavailable after {retries + 1} attempts: {last_err}")),
+        flush=True)
     sys.exit(0)  # the JSON error record IS the result; rc=0 so it's recorded
 
 
