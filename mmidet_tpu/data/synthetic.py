@@ -59,13 +59,23 @@ def make_synthetic_pair_dataset(root: str, n: int = 8, img: int = 160,
             with open(os.path.join(d, name + ".txt"), "w") as fh:
                 fh.write(txt + "\n")
 
+    # compose the YAML from whatever splits exist under root: a later
+    # `split="val"` call upgrades the val entries instead of repointing
+    # train at the val dirs (each split call rewrites the same yaml)
+    def _dirs(split_name):
+        r = os.path.join(root, f"{split_name}_rgb", "images")
+        i = os.path.join(root, f"{split_name}_ir", "images")
+        return (r, i) if os.path.isdir(r) else (rgb_dir, ir_dir)
+
+    tr_rgb, tr_ir = _dirs("train")
+    va_rgb, va_ir = _dirs("val")
     yaml_path = os.path.join(root, "synthetic.yaml")
     with open(yaml_path, "w") as fh:
         fh.write(
-            f"train_rgb: {rgb_dir}\n"
-            f"train_ir: {ir_dir}\n"
-            f"val_rgb: {rgb_dir}\n"
-            f"val_ir: {ir_dir}\n"
+            f"train_rgb: {tr_rgb}\n"
+            f"train_ir: {tr_ir}\n"
+            f"val_rgb: {va_rgb}\n"
+            f"val_ir: {va_ir}\n"
             "nc: 2\n"
             "names: ['box', 'blob']\n")
     return yaml_path

@@ -1,0 +1,397 @@
+"""Converged cross-framework mAP parity rehearsal (VERDICT r3 #3).
+
+The acceptance gate (BASELINE.json) compares mAP@50 between this framework
+and the PyTorch reference on M3FD with the released checkpoint — both of
+which are absent from this environment.  This tool rehearses the FULL gate
+protocol end-to-end with no blocked assets: train the SAME miniature
+two-stream config from the SAME initial weights (identical init via the
+checkpoint converter) to convergence in BOTH frameworks on the same
+synthetic paired set, then evaluate each side with ITS OWN eval pipeline
+(reference ``test.test`` vs our ``evaluate``) under the gate protocol
+(rect, pad 0.5, conf 0.001, iou 0.6 — reference test.py:21-93), and report
+|delta mAP50|.
+
+Each arm trains with its own framework's machinery:
+  * reference arm — its own dataloader (``create_dataloader_rgb_ir``),
+    loss (``ComputeLoss`` with the Combine flag), 3-group SGD (nesterov,
+    scaled weight decay, train.py:566-588), one-cycle cosine LR +
+    warmup ramp (train.py:593-597,765-773), ``ModelEMA``;
+  * our arm — ``trainer.train`` (pjit step, optax 3-group SGD, per-step
+    staircase schedule, EMA, orbax best-checkpoint deploy strip).
+
+Augmentation is OFF on both sides (the rehearsal measures framework
+equivalence at convergence, not augmentation-policy equivalence — those
+semantics are pinned separately by tests/test_torch_parity.py's 50-step
+mosaic equivalence and the PARITY.md A/B).
+
+Usage:
+  python tools/converged_parity.py --fusion add --epochs 600
+  python tools/converged_parity.py --fusion fourier --epochs 600
+  python tools/converged_parity.py --smoke   # minutes-scale kit self-check
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import json
+import math
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+from parity_kit import PROTOCOL, install_reference, run_reference  # noqa: E402
+
+# mini two-stream Add-fusion grammar (yolov5*_fusion_add_* family,
+# reference models/transformer/yolov5s_fusion_add_vedai.yaml, at small
+# fixed widths / depth 1): two parallel CSP backbones, Add fusion at
+# P3/P4/P5, shared PANet head
+MINI_ADD_CFG = {
+    "nc": 2,
+    "depth_multiple": 1.0,
+    "width_multiple": 1.0,
+    "anchors": [[10, 13, 16, 30, 33, 23],
+                [30, 61, 62, 45, 59, 119],
+                [116, 90, 156, 198, 373, 326]],
+    "backbone": [
+        [-1, 1, "Focus", [8, 3]],          # 0 P1/2
+        [-1, 1, "Conv", [16, 3, 2]],       # 1 P2/4
+        [-1, 1, "C3", [16]],               # 2
+        [-1, 1, "Conv", [24, 3, 2]],       # 3 P3/8
+        [-1, 1, "C3", [24]],               # 4
+        [-1, 1, "Conv", [32, 3, 2]],       # 5 P4/16
+        [-1, 1, "C3", [32]],               # 6
+        [-1, 1, "Conv", [48, 3, 2]],       # 7 P5/32
+        [-1, 1, "SPP", [48, [5, 9, 13]]],  # 8
+        [-1, 1, "C3", [48, False]],        # 9
+        [-4, 1, "Focus", [8, 3]],          # 10 (IR stream)
+        [-1, 1, "Conv", [16, 3, 2]],       # 11
+        [-1, 1, "C3", [16]],               # 12
+        [-1, 1, "Conv", [24, 3, 2]],       # 13
+        [-1, 1, "C3", [24]],               # 14
+        [-1, 1, "Conv", [32, 3, 2]],       # 15
+        [-1, 1, "C3", [32]],               # 16
+        [-1, 1, "Conv", [48, 3, 2]],       # 17
+        [-1, 1, "SPP", [48, [5, 9, 13]]],  # 18
+        [-1, 1, "C3", [48, False]],        # 19
+        [[4, 14], 1, "Add", [1]],          # 20 P3 fuse
+        [[6, 16], 1, "Add", [1]],          # 21 P4 fuse
+        [[9, 19], 1, "Add", [1]],          # 22 P5 fuse
+    ],
+    "head": [
+        [-1, 1, "Conv", [32, 1, 1]],                     # 23
+        [-1, 1, "nn.Upsample", [None, 2, "nearest"]],    # 24
+        [[-1, 21], 1, "Concat", [1]],                    # 25
+        [-1, 1, "C3", [32, False]],                      # 26
+        [-1, 1, "Conv", [24, 1, 1]],                     # 27
+        [-1, 1, "nn.Upsample", [None, 2, "nearest"]],    # 28
+        [[-1, 20], 1, "Concat", [1]],                    # 29
+        [-1, 1, "C3", [24, False]],                      # 30 P3 out
+        [-1, 1, "Conv", [24, 3, 2]],                     # 31
+        [[-1, 27], 1, "Concat", [1]],                    # 32
+        [-1, 1, "C3", [32, False]],                      # 33 P4 out
+        [-1, 1, "Conv", [32, 3, 2]],                     # 34
+        [[-1, 23], 1, "Concat", [1]],                    # 35
+        [-1, 1, "C3", [48, False]],                      # 36 P5 out
+        [[30, 33, 36], 1, "Detect", ["nc", "anchors"]],
+    ],
+}
+
+
+def get_mini_cfg(fusion: str) -> dict:
+    if fusion == "add":
+        return copy.deepcopy(MINI_ADD_CFG)
+    if fusion == "fourier":
+        # the flagship fuse3-fourier grammar at 1/16 width — the exact cfg
+        # whose converted-forward/gradient/50-step parity is already pinned
+        from test_torch_parity import MINI_CFG
+        return copy.deepcopy(MINI_CFG)
+    raise ValueError(f"unknown fusion {fusion!r} (add|fourier)")
+
+
+def make_data(out: str, n_train: int, n_val: int, img: int):
+    """Synthetic paired set with separate train/val splits; returns
+    (data_yaml_path, data_dict, ref_data_dict).  ref_data_dict points at an
+    M3FD-layout symlink tree (RGBimages/IRimages/labels per split) — the
+    reference's ``img2label_paths`` only resolves labels for that layout
+    (utils/datasets.py:708-735)."""
+    import yaml
+
+    from mmidet_tpu.data.synthetic import make_synthetic_pair_dataset
+    droot = os.path.join(out, "data")
+    make_synthetic_pair_dataset(droot, n=n_train, img=img, seed=0,
+                                split="train")
+    yaml_path = make_synthetic_pair_dataset(droot, n=n_val, img=img, seed=1,
+                                            split="val")
+    with open(yaml_path) as fh:
+        data = yaml.safe_load(fh)
+
+    m3fd = os.path.join(out, "m3fd")
+    for split in ("train", "val"):
+        for dirname, src_sub in (("RGBimages", f"{split}_rgb"),
+                                 ("IRimages", f"{split}_ir")):
+            img_dir = os.path.join(m3fd, dirname, split)
+            os.makedirs(img_dir, exist_ok=True)
+            src = os.path.join(droot, src_sub, "images")
+            for f in sorted(os.listdir(src)):
+                dst = os.path.join(img_dir, f)
+                if not os.path.exists(dst):
+                    os.symlink(os.path.join(src, f), dst)
+        lab_dir = os.path.join(m3fd, "labels", split)
+        os.makedirs(lab_dir, exist_ok=True)
+        src = os.path.join(droot, f"{split}_rgb", "labels")
+        for f in sorted(os.listdir(src)):
+            dst = os.path.join(lab_dir, f)
+            if not os.path.exists(dst):
+                os.symlink(os.path.join(src, f), dst)
+    ref_data = {"train_rgb": os.path.join(m3fd, "RGBimages", "train"),
+                "train_ir": os.path.join(m3fd, "IRimages", "train"),
+                "val_rgb": os.path.join(m3fd, "RGBimages", "val"),
+                "val_ir": os.path.join(m3fd, "IRimages", "val"),
+                "nc": data["nc"], "names": data["names"]}
+    return yaml_path, data, ref_data
+
+
+# ------------------------------------------------------------- reference arm
+def load_ref_hyp() -> dict:
+    import yaml
+    with open("/root/reference/data/hyp.scratch.yaml") as fh:
+        return yaml.safe_load(fh)
+
+
+def build_reference_model(cfg: dict, nc: int, names, seed: int = 0):
+    install_reference("/root/reference")
+    import torch
+    from models.yolo_test import Model  # reference import
+
+    torch.manual_seed(seed)
+    m = Model(copy.deepcopy(cfg), ch=3, nc=nc).float()
+    m.names = list(names)
+    return m
+
+
+def save_ref_pt(m, path: str) -> str:
+    import numpy as np
+    import torch
+    torch.save({"model": copy.deepcopy(m).float(), "ema": None, "epoch": -1,
+                "best_fitness": np.asarray([0.0]), "training_results": "",
+                "optimizer": None, "wandb_id": None}, path)
+    return path
+
+
+def train_reference(m, data: dict, img: int, batch: int, epochs: int,
+                    hyp: dict, log_every: int = 50):
+    """The reference's own training pipeline at miniature scale on CPU:
+    its dataloader, ComputeLoss(Flag=True), 3-group nesterov SGD with
+    scaled weight decay, one-cycle cosine LR with the warmup ramp
+    (train.py:566-620,765-790), ModelEMA.  Returns the EMA model."""
+    import numpy as np
+    import torch
+
+    from utils.datasets import create_dataloader_rgb_ir  # reference imports
+    from utils.loss import ComputeLoss
+    from utils.torch_utils import ModelEMA
+
+    hyp = dict(hyp)
+    nbs = 64  # nominal batch size (reference train.py:564)
+    accumulate = max(round(nbs / batch), 1)
+    hyp["weight_decay"] *= batch * accumulate / nbs
+
+    pg0, pg1, pg2 = [], [], []  # BN weights / conv weights / biases
+    for mod in m.modules():
+        if hasattr(mod, "bias") and isinstance(mod.bias, torch.nn.Parameter):
+            pg2.append(mod.bias)
+        if isinstance(mod, torch.nn.BatchNorm2d):
+            pg0.append(mod.weight)
+        elif hasattr(mod, "weight") and isinstance(mod.weight,
+                                                   torch.nn.Parameter):
+            pg1.append(mod.weight)
+    grouped = {id(p) for pg in (pg0, pg1, pg2) for p in pg}
+    pg1 += [p for p in m.parameters() if id(p) not in grouped]
+
+    opt = torch.optim.SGD(pg0, lr=hyp["lr0"], momentum=hyp["momentum"],
+                          nesterov=True)
+    opt.add_param_group({"params": pg1, "weight_decay": hyp["weight_decay"]})
+    opt.add_param_group({"params": pg2})
+
+    def lf(x):  # one_cycle (reference general.py:106-109)
+        return ((1 + math.cos(x * math.pi / epochs)) / 2) \
+            * (1 - hyp["lrf"]) + hyp["lrf"]
+
+    for g in opt.param_groups:
+        g["initial_lr"] = hyp["lr0"]
+
+    opt_ns = argparse.Namespace(single_cls=False, task="train", device="cpu")
+    dl = create_dataloader_rgb_ir(data["train_rgb"], data["train_ir"], img,
+                                  batch, 32, opt_ns, hyp=hyp, augment=False,
+                                  rect=False, workers=0)[0]
+    nb = len(dl)
+    nw = max(round(hyp["warmup_epochs"] * nb), 1000)  # train.py:765
+
+    m.train()
+    m.hyp = hyp
+    m.gr = 1.0
+    compute_loss = ComputeLoss(m)
+    ema = ModelEMA(m)
+    ni = 0
+    for epoch in range(epochs):
+        for imgs, targets, _, _ in dl:
+            if ni <= nw:  # warmup ramp (train.py:775-783)
+                xi = [0, nw]
+                accumulate = max(1, np.interp(
+                    ni, xi, [1, nbs / batch]).round())
+                for j, g in enumerate(opt.param_groups):
+                    g["lr"] = np.interp(
+                        ni, xi,
+                        [hyp["warmup_bias_lr"] if j == 2 else 0.0,
+                         g["initial_lr"] * lf(epoch)])
+                    if "momentum" in g:
+                        g["momentum"] = np.interp(
+                            ni, xi, [hyp["warmup_momentum"],
+                                     hyp["momentum"]])
+            x = imgs.float() / 255.0
+            pred, combine = m(x[:, :3], x[:, 3:])
+            loss, _ = compute_loss(pred, targets, combine.reshape(-1),
+                                   Flag=True)
+            loss.backward()
+            if ni % accumulate == 0:
+                opt.step()
+                opt.zero_grad()
+                ema.update(m)
+            ni += 1
+        for g in opt.param_groups:  # per-epoch cosine (train.py:789)
+            g["lr"] = g["initial_lr"] * lf(epoch)
+        if (epoch + 1) % log_every == 0 or epoch == epochs - 1:
+            print(f"  [ref] epoch {epoch + 1}/{epochs} "
+                  f"loss={float(loss):.4f} lr={opt.param_groups[0]['lr']:.5f}",
+                  flush=True)
+    out = ema.ema
+    out.eval().float()
+    out.names = m.names
+    return out
+
+
+# ------------------------------------------------------------------- our arm
+def train_ours(cfg: dict, data_yaml: str, init_pt: str, img: int, batch: int,
+               epochs: int, out: str, max_labels: int = 30) -> dict:
+    """Our own training pipeline from the SAME torch init (converter),
+    augmentation off; returns {'map50', ...} evaluated with OUR eval under
+    the gate protocol on the best-checkpoint deploy weights."""
+    import yaml as _yaml
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from mmidet_tpu.data.datasets import PairedDataset, load_data_yaml
+    from mmidet_tpu.data.loader import RectLoader
+    from mmidet_tpu.eval.evaluator import evaluate
+    from mmidet_tpu.models.detector import TwoStreamDetector
+    from mmidet_tpu.train import trainer
+
+    # our-side yaml: the loader takes Detect args from nc/anchors keys
+    ours_cfg = {**copy.deepcopy(cfg),
+                "head": [row if row[2] != "Detect" else
+                         [row[0], row[1], "Detect", []]
+                         for row in cfg["head"]]}
+    cfg_path = os.path.join(out, "mini_model.yaml")
+    with open(cfg_path, "w") as fh:
+        _yaml.safe_dump(ours_cfg, fh)
+
+    # augmentation off (both arms train on plain letterboxed images); loss
+    # and LR hyp stay at the scratch defaults, like the reference arm
+    aug_off = dict(degrees=0.0, translate=0.0, scale=0.0, shear=0.0,
+                   perspective=0.0, hsv_h=0.0, hsv_s=0.0, hsv_v=0.0,
+                   fliplr=0.0, flipud=0.0, mosaic=0.0, mixup=0.0)
+    tc = trainer.TrainConfig(
+        model=cfg_path, data=data_yaml, hyp=aug_off, epochs=epochs,
+        batch_size=batch, img_size=img, max_labels=max_labels,
+        workdir=os.path.join(out, "ours"), aux_mode="reference",
+        mosaic_prob=0.0, dtype="float32", eval_every=max(epochs // 4, 1),
+        seed=0, autoanchor=False, exist_ok=True, weights=init_pt)
+    res = trainer.train(tc)
+
+    model = TwoStreamDetector(spec=res["spec"], use_cem=True, aux_mode="off",
+                              dtype=jnp.float32)
+    data = load_data_yaml(data_yaml)
+    ds = PairedDataset(data["val_rgb"], data["val_ir"], nc=int(data["nc"]))
+    loader = RectLoader(ds, batch, img)
+    ev = evaluate(model, res["deploy"], loader, int(data["nc"]),
+                  conf_thres=PROTOCOL["conf_thres"],
+                  iou_thres=PROTOCOL["iou_thres"],
+                  names=data.get("names"), verbose=False)
+    return {"P": ev.mp, "R": ev.mr, "mAP50": ev.map50, "mAP75": ev.map75,
+            "mAP": ev.map}
+
+
+# ---------------------------------------------------------------------- main
+def main(argv=None):
+    p = argparse.ArgumentParser("converged_parity")
+    p.add_argument("--fusion", type=str, default="add",
+                   choices=["add", "fourier"])
+    p.add_argument("--epochs", type=int, default=600)
+    p.add_argument("--img", type=int, default=96)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--n-train", type=int, default=32)
+    p.add_argument("--n-val", type=int, default=16)
+    p.add_argument("--out", type=str, default="/tmp/converged_parity")
+    p.add_argument("--smoke", action="store_true",
+                   help="minutes-scale end-to-end kit self-check")
+    args = p.parse_args(argv)
+    if args.smoke:
+        args.epochs, args.n_train, args.n_val = 3, 8, 4
+
+    out = os.path.join(args.out, args.fusion)
+    os.makedirs(out, exist_ok=True)
+    data_yaml, data, ref_data = make_data(out, args.n_train, args.n_val,
+                                          args.img)
+    cfg = get_mini_cfg(args.fusion)
+    nc, names = int(data["nc"]), data["names"]
+    cfg["nc"] = nc
+
+    # identical init: torch init -> .pt -> (converter) -> our init
+    m0 = build_reference_model(cfg, nc, names, seed=0)
+    init_pt = save_ref_pt(m0, os.path.join(out, "init.pt"))
+
+    print(f"[converged_parity] fusion={args.fusion} epochs={args.epochs} "
+          f"img={args.img} train/val={args.n_train}/{args.n_val}", flush=True)
+
+    print("[ours] training...", flush=True)
+    ours = train_ours(cfg, data_yaml, init_pt, args.img, args.batch,
+                      args.epochs, out)
+    print(f"[ours] {json.dumps({k: round(v, 4) for k, v in ours.items()})}",
+          flush=True)
+
+    print("[ref ] training...", flush=True)
+    hyp = load_ref_hyp()
+    m0 = build_reference_model(cfg, nc, names, seed=0)  # fresh same init
+    trained = train_reference(m0, ref_data, args.img, args.batch,
+                              args.epochs, hyp)
+    trained_pt = save_ref_pt(trained, os.path.join(out, "ref_trained.pt"))
+    ref = run_reference(trained_pt, ref_data, args.img, args.batch,
+                        "/root/reference")
+    print(f"[ref ] {json.dumps({k: round(v, 4) for k, v in ref.items()})}",
+          flush=True)
+
+    delta = abs(ours["mAP50"] - ref["mAP50"]) * 100
+    result = {"fusion": args.fusion, "epochs": args.epochs,
+              "img": args.img, "batch": args.batch,
+              "n_train": args.n_train, "n_val": args.n_val,
+              "ours": {k: round(v, 4) for k, v in ours.items()},
+              "reference": {k: round(v, 4) for k, v in ref.items()},
+              "map50_delta_points": round(delta, 3),
+              "gate_half_point": delta <= 0.5}
+    path = os.path.join(out, "converged_parity.json")
+    with open(path, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps(result))
+    print(f"record -> {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
