@@ -86,25 +86,31 @@ def match_predictions(pred: np.ndarray, labels: np.ndarray,
     correct = np.zeros((pred.shape[0], iouv.shape[0]), bool)
     if labels.shape[0] == 0 or pred.shape[0] == 0:
         return correct
-    detected: set[int] = set()
-    for c in np.unique(labels[:, 0]):
-        ti = np.nonzero(labels[:, 0] == c)[0]
-        pi = np.nonzero(pred[:, 5] == c)[0]
-        if pi.size == 0:
-            continue
-        ious = box_iou_np(pred[pi, :4], labels[ti, 1:5])
-        best = ious.argmax(1)
-        best_iou = ious[np.arange(len(pi)), best]
-        for j in np.nonzero(best_iou > iouv[0])[0]:
-            d = int(ti[best[j]])
-            if d not in detected:
-                detected.add(d)
-                correct[pi[j]] = best_iou[j] > iouv
-                # ref breaks on ALL image labels matched (test.py:228) —
-                # breaking on the per-class count would drop TPs whenever
-                # an earlier class's detections pad the set
-                if len(detected) == labels.shape[0]:
-                    break
+    # Single-pass vectorized form of the reference's greedy loop
+    # (test.py:198-231).  Exact by construction:
+    #   * the reference restricts each pred's best target to SAME-CLASS
+    #     labels — identical to masking cross-class IoUs to -1 (a masked
+    #     entry can never beat the > iouv[0] >= 0 candidate gate);
+    #   * a candidate claims its best target iff it is the FIRST candidate
+    #     (in pred order) for that target; the reference's class-by-class
+    #     processing order is irrelevant because targets are
+    #     class-exclusive, and within a class its pi order IS pred order;
+    #   * the break-on-ALL-labels-matched quirk (test.py:228) is
+    #     outcome-neutral — it only triggers once every label is detected,
+    #     after which no later candidate could claim anything anyway.
+    # Exactness vs a reference-faithful scalar matcher is pinned by
+    # tests/test_metrics_torch_parity.py.  (The scalar loop measured
+    # 1.0 ms/img at 300-pred scale — 62%+ of an eval epoch vs the 0.63
+    # ms/img chip forward; tools/_probe_eval_post.py.)
+    iou = box_iou_np(pred[:, :4], labels[:, 1:5])
+    iou = np.where(pred[:, 5:6] == labels[None, :, 0], iou, -1.0)
+    best = iou.argmax(1)
+    best_iou = iou[np.arange(pred.shape[0]), best]
+    cand = np.nonzero(best_iou > iouv[0])[0]  # candidates, in pred order
+    if cand.size == 0:
+        return correct
+    win = cand[np.unique(best[cand], return_index=True)[1]]  # first claims
+    correct[win] = best_iou[win, None] > iouv[None, :]
     return correct
 
 

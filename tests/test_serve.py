@@ -189,20 +189,18 @@ def test_int8_serving_requires_calib_dirs():
         _calibrate_int8(None, None, "", "", 32)
 
 
-def test_serve_bench_smoke(tmp_path, capsys):
+def test_serve_bench_smoke(monkeypatch, capsys):
     """tools/serve_bench.py end-to-end on CPU (--cpu-ok): both operating
     points produce well-formed records through the REAL HTTP+batching
     stack (the official numbers come from the chip; this pins the
     harness)."""
-    import sys
-
-    sys.path.insert(0, str(__import__("pathlib").Path(__file__)
-                           .resolve().parent.parent))
+    monkeypatch.syspath_prepend(str(__import__("pathlib").Path(__file__)
+                                    .resolve().parent.parent))
     from tools.serve_bench import main
 
     main(["--cfg", "yolov5s_add", "--img", "32", "--nc", "2",
           "--concurrency", "3", "--requests", "6", "--max-batch", "2",
-          "--cpu-ok", "--no-stage"])
+          "--latency-requests", "6", "--cpu-ok", "--no-stage"])
     lines = [ln for ln in capsys.readouterr().out.splitlines()
              if ln.startswith("{")]
     assert len(lines) == 2

@@ -102,6 +102,9 @@ def main(argv=None):
     ap.add_argument("--concurrency", type=int, default=32)
     ap.add_argument("--requests", type=int, default=200,
                     help="total requests at the throughput point")
+    ap.add_argument("--latency-requests", type=int, default=200,
+                    help="requests at the c=1 latency point (p99 needs a "
+                         "real sample, not the max of ~24)")
     ap.add_argument("--max-batch", type=int, default=16)
     ap.add_argument("--max-wait-ms", type=float, default=3.0)
     ap.add_argument("--cpu-ok", action="store_true")
@@ -136,33 +139,37 @@ def main(argv=None):
     print(f"device={dev.device_kind} cfg={args.cfg} img={args.img} "
           f"payload={len(payload) / 1024:.0f} KiB", flush=True)
 
-    for _ in range(4):  # warm the HTTP + decode + dispatch path
-        _post(url, payload)
-
     def pct(v, q):
         return round(float(np.percentile(np.asarray(v) * 1e3, q)), 1)
 
     records = []
-    # point 1: interactive latency (single closed-loop client)
-    lat1, _ = _closed_loop(url, payload, 1, max(24, args.max_batch))
-    records.append({
-        "metric": f"serve_{args.cfg}_{args.img}_c1_latency",
-        "value": pct(lat1, 50), "unit": "ms_p50",
-        "vs_baseline": -1.0, "p99_ms": pct(lat1, 99),
-        "n": len(lat1), "device": dev.device_kind,
-    })
-    # point 2: sustained throughput under concurrency
-    latC, wall = _closed_loop(url, payload, args.concurrency, args.requests)
-    records.append({
-        "metric": f"serve_{args.cfg}_{args.img}_"
-                  f"c{args.concurrency}_throughput",
-        "value": round(len(latC) / wall, 1), "unit": "req/s",
-        "vs_baseline": -1.0, "p50_ms": pct(latC, 50),
-        "p99_ms": pct(latC, 99), "n": len(latC),
-        "max_batch": args.max_batch, "device": dev.device_kind,
-    })
-    srv.shutdown()
-    svc.close()
+    try:  # an exception mid-benchmark must not leak the server/dispatcher
+        for _ in range(4):  # warm the HTTP + decode + dispatch path
+            _post(url, payload)
+
+        # point 1: interactive latency (single closed-loop client)
+        lat1, _ = _closed_loop(url, payload, 1,
+                               max(args.latency_requests, args.max_batch))
+        records.append({
+            "metric": f"serve_{args.cfg}_{args.img}_c1_latency",
+            "value": pct(lat1, 50), "unit": "ms_p50",
+            "vs_baseline": -1.0, "p99_ms": pct(lat1, 99),
+            "n": len(lat1), "device": dev.device_kind,
+        })
+        # point 2: sustained throughput under concurrency
+        latC, wall = _closed_loop(url, payload, args.concurrency,
+                                  args.requests)
+        records.append({
+            "metric": f"serve_{args.cfg}_{args.img}_"
+                      f"c{args.concurrency}_throughput",
+            "value": round(len(latC) / wall, 1), "unit": "req/s",
+            "vs_baseline": -1.0, "p50_ms": pct(latC, 50),
+            "p99_ms": pct(latC, 99), "n": len(latC),
+            "max_batch": args.max_batch, "device": dev.device_kind,
+        })
+    finally:
+        srv.shutdown()
+        svc.close()
     for r in records:
         if not args.no_stage:
             _stage_partial(r)
