@@ -142,11 +142,35 @@ def main():
         print(f"aug graph     : skipped ({type(e).__name__}: {str(e)[:80]})",
               flush=True)
 
+    # fused pipelined program — the trainer's hot path since round 4: ONE
+    # jit program runs train-step N and augmentation N+1 (data-independent
+    # subgraphs, so XLA interleaves the augmentation's gather/DMA work with
+    # the step's MXU work instead of serializing two dispatches).  The aug
+    # output is folded into the returned scalar so DCE can't drop it.
+    t_fused = None
+    if t_aug is not None:
+        jb_aug = jax.jit(aug)(jb, rng)
+
+        def fused(state, bpair, rng):
+            _, m = step_fn(state, bpair[0], rng)
+            out = aug(bpair[1], rng)
+            return (m["total"]
+                    + jnp.sum(out["rgb"].astype(jnp.float32)) * 1e-9)
+
+        try:
+            t_fused = timed_scan(fused, state, (jb_aug, jb), rng)
+            print(f"fused step+aug: {t_fused*1e3:8.1f} ms/step "
+                  f"(pipelined trainer hot path)", flush=True)
+        except Exception as e:
+            print(f"fused step+aug: skipped ({type(e).__name__}: "
+                  f"{str(e)[:80]})", flush=True)
+
     # ---- driver-parseable end-to-end training-throughput record ----
     # Full step + full on-device mosaic/warp/HSV graph == the reference's
     # end-to-end train.py configuration (BASELINE.json configs[4]).
     if t_aug is not None and jax.devices()[0].platform == "tpu":
-        e2e = batch / (t_step + t_aug)
+        t_e2e = t_fused if t_fused is not None else (t_step + t_aug)
+        e2e = batch / t_e2e
         record = {
             "metric": "yolov5s_twostream_640_mosaic_train",
             "value": round(e2e, 1),
@@ -154,12 +178,12 @@ def main():
             "batch": batch,
             "step_ms": round(t_step * 1e3, 1),
             "aug_ms": round(t_aug * 1e3, 1),
+            "fused_ms": round(t_fused * 1e3, 1) if t_fused else -1.0,
             # dp=8 expectation (PERF.md "Multi-chip scaling"): grads
             # all-reduce ~180 MB over the v5e ICI ring ~45 GB/s -> ~8 ms
             # vs the measured step -> ~7.5x at dp=8, global batch 8x
             "dp8_expected": round(
-                e2e * 8 * (t_step + t_aug)
-                / (t_step + t_aug + 0.008), 1),
+                e2e * 8 * t_e2e / (t_e2e + 0.008), 1),
         }
         sys.path.insert(0, os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))))
