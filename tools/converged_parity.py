@@ -201,6 +201,9 @@ def train_reference(m, data: dict, img: int, batch: int, epochs: int,
     accumulate = max(round(nbs / batch), 1)
     hyp["weight_decay"] *= batch * accumulate / nbs
 
+    # the reference's exact 3-group walk (train.py:571-580) — including its
+    # quirk that raw Parameters not named .weight/.bias (pos_emb,
+    # sobel_factor) land in NO group and silently never train
     pg0, pg1, pg2 = [], [], []  # BN weights / conv weights / biases
     for mod in m.modules():
         if hasattr(mod, "bias") and isinstance(mod.bias, torch.nn.Parameter):
@@ -210,8 +213,6 @@ def train_reference(m, data: dict, img: int, batch: int, epochs: int,
         elif hasattr(mod, "weight") and isinstance(mod.weight,
                                                    torch.nn.Parameter):
             pg1.append(mod.weight)
-    grouped = {id(p) for pg in (pg0, pg1, pg2) for p in pg}
-    pg1 += [p for p in m.parameters() if id(p) not in grouped]
 
     opt = torch.optim.SGD(pg0, lr=hyp["lr0"], momentum=hyp["momentum"],
                           nesterov=True)
@@ -312,6 +313,9 @@ def train_ours(cfg: dict, data_yaml: str, init_pt: str, img: int, batch: int,
         batch_size=batch, img_size=img, max_labels=max_labels,
         workdir=os.path.join(out, "ours"), aux_mode="reference",
         mosaic_prob=0.0, dtype="float32", eval_every=max(epochs // 4, 1),
+        # 'reference' optimizer groups: pos_emb/sobel_factor untrained,
+        # matching the reference arm's group-walk quirk exactly
+        optimizer_groups="reference",
         seed=0, autoanchor=False, exist_ok=True, weights=init_pt)
     res = trainer.train(tc)
 
