@@ -71,6 +71,53 @@ class LoadImages:
             yield path, lb, im0, (r, pad)
 
 
+class LoadWebcam:
+    """Single-camera SYNCHRONOUS reader (ref datasets.py:556-613): local
+    cameras read-and-mirror each frame (the reference's ``cv2.flip(img0,
+    1)``); IP-camera pipes grab continuously and retrieve every 30th frame
+    (its stale-frame skip).  Yields the same tuple shape as LoadImages.
+    (LoadStreams covers the threaded multi-source case; this class exists
+    for the reference's one-cam CLI surface.)"""
+
+    def __init__(self, pipe: str | int = "0", img_size: int = 640):
+        import cv2
+        self.img_size = img_size
+        self.pipe = int(pipe) if str(pipe).isnumeric() else pipe
+        self.cap = cv2.VideoCapture(self.pipe)
+        self.cap.set(cv2.CAP_PROP_BUFFERSIZE, 3)
+
+    def __iter__(self):
+        self.count = -1
+        return self
+
+    def __next__(self):
+        import cv2
+        self.count += 1
+        if isinstance(self.pipe, int):  # local camera: mirror like the ref
+            ok, img0 = self.cap.read()
+            if ok:
+                img0 = cv2.flip(img0, 1)
+        else:  # IP camera: skip stale frames (ref grabs, retrieves @30)
+            n, ok, img0 = 0, False, None
+            while n < 3000:
+                n += 1
+                self.cap.grab()
+                if n % 30 == 0:
+                    ok, img0 = self.cap.retrieve()
+                    if ok:
+                        break
+        assert ok, f"Camera Error {self.pipe}"
+        img0 = img0[:, :, ::-1]  # BGR -> RGB
+        lb, ratio, pad = letterbox_np(img0, (self.img_size, self.img_size))
+        return f"webcam{self.count}", lb, img0, (ratio, pad)
+
+    def __len__(self):
+        return 0  # endless (ref datasets.py:612-613)
+
+    def close(self):
+        self.cap.release()
+
+
 class LoadStreams:
     """Threaded multi-stream reader (webcam index / RTSP / HTTP URLs);
     each thread keeps only the most recent frame. Ref: datasets.py:616-706."""

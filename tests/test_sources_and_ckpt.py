@@ -90,3 +90,59 @@ def test_segment_labels_to_boxes(tmp_path):
     assert lab.shape == (2, 5)
     np.testing.assert_allclose(lab[0], [0, 0.5, 0.4, 0.6, 0.4], atol=1e-6)
     np.testing.assert_allclose(lab[1], [1, 0.1, 0.1, 0.3, 0.5], atol=1e-6)
+
+
+def test_load_webcam_fake_capture(monkeypatch):
+    """LoadWebcam drives cv2.VideoCapture with the reference's semantics:
+    local-cam frames are mirrored (cv2.flip), IP pipes retrieve every 30th
+    grab; output is letterboxed RGB."""
+    import sys
+    import types
+
+    import numpy as np
+
+    frame = np.zeros((48, 64, 3), np.uint8)
+    frame[:, :32] = (10, 20, 30)  # left half BGR marker
+
+    class FakeCap:
+        def __init__(self, pipe):
+            self.pipe = pipe
+            self.grabs = 0
+
+        def set(self, *a):
+            pass
+
+        def read(self):
+            return True, frame.copy()
+
+        def grab(self):
+            self.grabs += 1
+
+        def retrieve(self):
+            return True, frame.copy()
+
+        def release(self):
+            pass
+
+    fake_cv2 = types.ModuleType("cv2")
+    fake_cv2.VideoCapture = FakeCap
+    fake_cv2.CAP_PROP_BUFFERSIZE = 38
+    fake_cv2.flip = lambda img, code: img[:, ::-1] if code == 1 else img
+    monkeypatch.setitem(sys.modules, "cv2", fake_cv2)
+
+    from mmidet_tpu.data.sources import LoadWebcam
+
+    cam = LoadWebcam("0", img_size=64)
+    path, lb, img0, (ratio, pad) = next(iter(cam))
+    assert path == "webcam0" and lb.shape == (64, 64, 3)
+    # mirrored + BGR->RGB: the marked half lands on the RIGHT, channel
+    # order reversed (30, 20, 10)
+    assert tuple(img0[0, -1]) == (30, 20, 10)
+    assert tuple(img0[0, 0]) == (0, 0, 0)
+    cam.close()
+
+    ip = LoadWebcam("rtsp://x", img_size=64)
+    _, lb, img0, _ = next(iter(ip))
+    assert ip.cap.grabs == 30  # stale-frame skip: retrieve on the 30th grab
+    assert tuple(img0[0, 0]) == (30, 20, 10)  # unmirrored for IP pipes
+    ip.close()
