@@ -287,13 +287,16 @@ def _error_record(reason: str) -> dict:
 def main():
     # Failure-path wall-clock is bounded WELL under the driver's window
     # (round 3: the driver killed bench at ~16 min mid-retry and the record
-    # was never printed).  Worst case dead relay: 3 x (30 s probe + 20 s
-    # backoff) = 150 s, then the final record.  The measurement child gets
+    # was never printed).  Worst case dead relay: 3 x (60 s probe + 20 s
+    # backoff) = 240 s, then the final record.  The measurement child gets
     # a larger window (compile + 4 variants), but a provisional record is
     # already on stdout before it launches, so a driver kill mid-child
     # still leaves a parseable last line.
+    # Probe timeout is 60 s, not 30: a LIVE relay's first dispatch in a
+    # fresh process measured 38.5 s (round 4) — 30 s false-negatives a
+    # cold-but-healthy tunnel into the dead-relay path.
     timeout = int(os.environ.get("BENCH_TIMEOUT", "900"))
-    probe_timeout = int(os.environ.get("BENCH_PROBE_TIMEOUT", "30"))
+    probe_timeout = int(os.environ.get("BENCH_PROBE_TIMEOUT", "60"))
     retries = int(os.environ.get("BENCH_RETRIES", "2"))
     backoff = int(os.environ.get("BENCH_BACKOFF", "20"))
     budget = int(os.environ.get("BENCH_TOTAL_BUDGET", "300"))

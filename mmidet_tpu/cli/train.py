@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--multi-scale", action="store_true",
                    help="vary img-size +/-50%% per batch (one XLA compile "
                         "per size)")
+    p.add_argument("--multi-scale-buckets", type=int, default=5,
+                   help="number of distinct multi-scale sizes (bounds XLA "
+                        "compiles; 0 = full /32 reference range)")
     p.add_argument("--rect", action="store_true",
                    help="rectangular (aspect-bucketed) training; disables "
                         "mosaic")
@@ -112,6 +115,7 @@ def main(argv=None):
         optimizer_groups=args.optimizer_groups,
         weights=args.weights, image_weights=args.image_weights,
         single_cls=args.single_cls, multi_scale=args.multi_scale,
+        multi_scale_buckets=args.multi_scale_buckets,
         rect=args.rect, notest=args.notest, nosave=args.nosave,
         save_period=args.save_period, exist_ok=args.exist_ok,
         workers=args.workers, freeze=tuple(args.freeze),

@@ -78,6 +78,10 @@ class TrainConfig:
     multi_scale: bool = False    # random /32 img size in [0.5,1.5]x per batch
     #                              (ref train.py:778-783; one XLA compile per
     #                              size — slow first epoch over remote compile)
+    multi_scale_buckets: int = 5  # cap the random-size set to N evenly spaced
+    #                               /gs sizes across [0.5,1.5]x (bounds XLA
+    #                               compiles to N; 0 = full reference range,
+    #                               ~21 sizes at 640/32)
     rect: bool = False           # aspect-bucketed train batches (disables
     #                              mosaic, as the reference does)
     notest: bool = False         # eval only on the final epoch
@@ -437,6 +441,16 @@ def train(cfg: TrainConfig) -> dict:
     ms_rng = np.random.default_rng(cfg.seed + 2)
     maps = np.zeros(nc)  # per-class mAP from the latest eval
     gs = int(max(spec.strides))
+    if cfg.multi_scale:
+        lo, hi = img_size // 2 // gs, img_size * 3 // 2 // gs
+        if cfg.multi_scale_buckets > 0:
+            ms_sizes = np.unique(np.round(
+                np.linspace(lo, hi, cfg.multi_scale_buckets)).astype(int)) * gs
+        else:
+            ms_sizes = np.arange(lo, hi + 1) * gs
+        logger.info("multi-scale: %d sizes %s (one XLA compile each, "
+                    "cached after the first epoch)",
+                    len(ms_sizes), ms_sizes.tolist())
     from mmidet_tpu.nn.resize import bilinear_resize
     _ms_resize = jax.jit(bilinear_resize, static_argnums=1)
     for epoch in range(start_epoch, cfg.epochs):
@@ -458,9 +472,11 @@ def train(cfg: TrainConfig) -> dict:
             if cfg.multi_scale:
                 # ref train.py:778-783: random /gs size in [0.5, 1.5]x,
                 # bilinear batch resize; labels are normalized -> unchanged.
-                # Each distinct size is one extra XLA compile (cached).
-                sz = int(ms_rng.integers(img_size // 2 // gs,
-                                         img_size * 3 // 2 // gs + 1) * gs)
+                # Each distinct size is one extra XLA compile (cached), so by
+                # default the size set is bucketed to multi_scale_buckets
+                # evenly spaced /gs sizes (0 = the full ~21-size ref range,
+                # prohibitive over a remote-compile service).
+                sz = int(ms_rng.choice(ms_sizes))
                 if sz != jb["rgb"].shape[1]:
                     jb["rgb"] = _ms_resize(jb["rgb"], (sz, sz))
                     jb["ir"] = _ms_resize(jb["ir"], (sz, sz))
