@@ -84,6 +84,9 @@ class TrainConfig:
     #                               ~21 sizes at 640/32)
     rect: bool = False           # aspect-bucketed train batches (disables
     #                              mosaic, as the reference does)
+    fused_loop: bool = True      # pipelined hot loop: one jit program per
+    #                              iteration (step N + augment N+1); False
+    #                              forces the two-dispatch fallback (debug)
     notest: bool = False         # eval only on the final epoch
     nosave: bool = False         # checkpoint only on the final epoch
     save_period: int = -1        # extra checkpoint every N epochs
@@ -129,6 +132,18 @@ def load_hyp(hyp) -> dict:
         with open(hyp) as fh:
             return {**DEFAULT_HYP, **yaml.safe_load(fh)}
     return dict(DEFAULT_HYP)
+
+
+def multi_scale_sizes(img_size: int, gs: int, buckets: int) -> np.ndarray:
+    """Distinct /gs image sizes for --multi-scale across [0.5, 1.5]x
+    img_size (ref train.py:778-783).  buckets>0 caps the set at that many
+    evenly spaced sizes (each distinct size costs one XLA compile);
+    buckets=0 yields the full reference range."""
+    lo, hi = img_size // 2 // gs, img_size * 3 // 2 // gs
+    if buckets > 0:
+        return np.unique(np.round(
+            np.linspace(lo, hi, buckets)).astype(int)) * gs
+    return np.arange(lo, hi + 1) * gs
 
 
 def _spec_from_cfg(cfg: TrainConfig, nc: int):
@@ -353,8 +368,9 @@ def train(cfg: TrainConfig) -> dict:
         scale=hyp["scale"], shear=hyp["shear"],
         perspective=hyp["perspective"], flipud=hyp["flipud"],
         fliplr=hyp["fliplr"], mosaic=hyp["mosaic"])
-    augment = jax.jit(make_batch_augment(img_size, aug_hyp, cfg.max_labels,
-                                         mosaic=use_mosaic))
+    augment_core = make_batch_augment(img_size, aug_hyp, cfg.max_labels,
+                                      mosaic=use_mosaic)
+    augment = jax.jit(augment_core)
     quad_fn = None
     if cfg.quad:
         from mmidet_tpu.data.augment import quad_batch
@@ -403,9 +419,37 @@ def train(cfg: TrainConfig) -> dict:
     # at init (and after pretrained transfer), and donating the same buffer
     # through two leaves is a runtime error; donation also measured
     # time-neutral on this model (PERF.md, 145.6 vs 146.4 ms).
-    step_fn = jax.jit(make_train_step(model, tx, anchors, loss_hyp,
-                                      ema_decay=cfg.ema_decay,
-                                      remat=cfg.remat or None))
+    step_core = make_train_step(model, tx, anchors, loss_hyp,
+                                ema_decay=cfg.ema_decay,
+                                remat=cfg.remat or None)
+    step_fn = jax.jit(step_core)
+
+    # Pipelined hot loop (VERDICT r3 #5): when no per-batch host-side
+    # transform is needed (no quad regroup, no multi-scale resize), each
+    # iteration dispatches ONE jit program that runs train-step N and
+    # augmentation N+1 — data-independent subgraphs XLA can interleave
+    # (measured: 24.1 ms aug + 35.0 ms step serialized vs one fused
+    # program, tools/train_bench.py) — and accumulates the loss means on
+    # device, so the host reads ONE (3,) array per epoch instead of three
+    # floats per step.
+    use_fused = cfg.fused_loop and quad_fn is None and not cfg.multi_scale
+
+    def _prep(raw):
+        return {k: (v.astype(jnp.float32) / 255.0
+                    if k in ("rgb", "ir", "rgb4", "ir4") else v)
+                for k, v in raw.items()}
+
+    if use_fused:
+        augment_prep = jax.jit(lambda raw, k: augment_core(_prep(raw), k))
+
+        @jax.jit
+        def fused_fn(state, cur, raw_next, k_step, k_aug, loss_acc):
+            state, metrics = step_core(state, cur, k_step)
+            nxt = augment_core(_prep(raw_next), k_aug)
+            loss_acc = loss_acc + jnp.stack(
+                [metrics["box"], metrics["obj"],
+                 metrics["cls"]]).astype(jnp.float32)
+            return state, nxt, loss_acc
 
     start_epoch, best_fit = 0, -1.0
     ckpt_dir = os.path.join(workdir, "ckpt")
@@ -442,61 +486,82 @@ def train(cfg: TrainConfig) -> dict:
     maps = np.zeros(nc)  # per-class mAP from the latest eval
     gs = int(max(spec.strides))
     if cfg.multi_scale:
-        lo, hi = img_size // 2 // gs, img_size * 3 // 2 // gs
-        if cfg.multi_scale_buckets > 0:
-            ms_sizes = np.unique(np.round(
-                np.linspace(lo, hi, cfg.multi_scale_buckets)).astype(int)) * gs
-        else:
-            ms_sizes = np.arange(lo, hi + 1) * gs
+        ms_sizes = multi_scale_sizes(img_size, gs, cfg.multi_scale_buckets)
         logger.info("multi-scale: %d sizes %s (one XLA compile each, "
                     "cached after the first epoch)",
                     len(ms_sizes), ms_sizes.tolist())
     from mmidet_tpu.nn.resize import bilinear_resize
     _ms_resize = jax.jit(bilinear_resize, static_argnums=1)
+    def _plot_batch(jb):
+        nonlocal plotted_batches
+        if plotted_batches >= 3:  # first train batches w/ boxes
+            return                # (ref train.py:816-817, plots.py:128)
+        try:
+            from mmidet_tpu.utils.plots import plot_images
+            plot_images(np.asarray(jb["rgb"]), np.asarray(jb["targets"]),
+                        np.asarray(jb["mask"]),
+                        os.path.join(workdir,
+                                     f"train_batch{plotted_batches}.jpg"),
+                        names=names)
+        except Exception:
+            pass
+        plotted_batches += 1
+
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
         mloss = np.zeros(3)
         nb = 0
-        for batch in loader:
-            rng, k_aug, k_step = jax.random.split(rng, 3)
-            jb = {k: jnp.asarray(v) for k, v in batch.items()
-                  if k not in ("shapes", "files")}
-            for im_key in ("rgb", "ir", "rgb4", "ir4"):
-                if im_key in jb:
-                    jb[im_key] = jb[im_key].astype(jnp.float32) / 255.0
-            jb = augment(jb, k_aug)
-            if quad_fn is not None:
-                rng, k_q = jax.random.split(rng)
-                jb = quad_fn(jb["rgb"], jb["ir"], jb["targets"],
-                             jb["mask"], k_q)
-            if cfg.multi_scale:
-                # ref train.py:778-783: random /gs size in [0.5, 1.5]x,
-                # bilinear batch resize; labels are normalized -> unchanged.
-                # Each distinct size is one extra XLA compile (cached), so by
-                # default the size set is bucketed to multi_scale_buckets
-                # evenly spaced /gs sizes (0 = the full ~21-size ref range,
-                # prohibitive over a remote-compile service).
-                sz = int(ms_rng.choice(ms_sizes))
-                if sz != jb["rgb"].shape[1]:
-                    jb["rgb"] = _ms_resize(jb["rgb"], (sz, sz))
-                    jb["ir"] = _ms_resize(jb["ir"], (sz, sz))
-            if plotted_batches < 3:  # first train batches w/ boxes
-                try:                 # (ref train.py:816-817, plots.py:128)
-                    from mmidet_tpu.utils.plots import plot_images
-                    plot_images(np.asarray(jb["rgb"]),
-                                np.asarray(jb["targets"]),
-                                np.asarray(jb["mask"]),
-                                os.path.join(workdir,
-                                             f"train_batch{plotted_batches}.jpg"),
-                                names=names)
-                except Exception:
-                    pass
-                plotted_batches += 1
-            state, metrics = step_fn(state, jb, k_step)
-            mloss += np.asarray([float(metrics["box"]),
-                                 float(metrics["obj"]),
-                                 float(metrics["cls"])])
-            nb += 1
+        if use_fused:
+            # pipelined: fused_fn runs step N and augments batch N+1 in one
+            # program; the first batch is augmented standalone (prologue),
+            # the last is stepped standalone (epilogue).  Per-batch PRNG
+            # keys are drawn exactly as in the fallback loop.
+            loss_acc = jnp.zeros(3, jnp.float32)
+            cur, k_step_cur = None, None
+            for batch in loader:
+                rng, k_aug, k_step = jax.random.split(rng, 3)
+                raw = {k: jnp.asarray(v) for k, v in batch.items()
+                       if k not in ("shapes", "files")}
+                if cur is None:
+                    cur = augment_prep(raw, k_aug)
+                else:
+                    state, cur, loss_acc = fused_fn(
+                        state, cur, raw, k_step_cur, k_aug, loss_acc)
+                    nb += 1
+                k_step_cur = k_step
+                _plot_batch(cur)
+            if cur is not None:
+                state, metrics = step_fn(state, cur, k_step_cur)
+                loss_acc = loss_acc + jnp.stack(
+                    [metrics["box"], metrics["obj"],
+                     metrics["cls"]]).astype(jnp.float32)
+                nb += 1
+            mloss = np.asarray(loss_acc, np.float64)
+        else:
+            for batch in loader:
+                rng, k_aug, k_step = jax.random.split(rng, 3)
+                jb = {k: jnp.asarray(v) for k, v in batch.items()
+                      if k not in ("shapes", "files")}
+                jb = augment(_prep(jb), k_aug)
+                if quad_fn is not None:
+                    rng, k_q = jax.random.split(rng)
+                    jb = quad_fn(jb["rgb"], jb["ir"], jb["targets"],
+                                 jb["mask"], k_q)
+                if cfg.multi_scale:
+                    # ref train.py:778-783: random /gs size in [0.5, 1.5]x,
+                    # bilinear batch resize; labels normalized -> unchanged.
+                    # Each distinct size is one extra XLA compile (cached);
+                    # the size set is bucketed (multi_scale_sizes above).
+                    sz = int(ms_rng.choice(ms_sizes))
+                    if sz != jb["rgb"].shape[1]:
+                        jb["rgb"] = _ms_resize(jb["rgb"], (sz, sz))
+                        jb["ir"] = _ms_resize(jb["ir"], (sz, sz))
+                _plot_batch(jb)
+                state, metrics = step_fn(state, jb, k_step)
+                mloss += np.asarray([float(metrics["box"]),
+                                     float(metrics["obj"]),
+                                     float(metrics["cls"])])
+                nb += 1
         mloss /= max(nb, 1)
 
         def _log_model_art(ep: int, fit_val: float, best: bool) -> None:

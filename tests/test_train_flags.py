@@ -367,3 +367,44 @@ def test_quad_batch_matches_reference_collate_fn4():
             assert got == exp, (got, exp)
     finally:
         rds.random.random = old_random
+
+
+def test_multi_scale_sizes_bucketed_and_full():
+    from mmidet_tpu.train.trainer import multi_scale_sizes
+
+    # default 5 buckets at the reference's 640/32: endpoints included,
+    # evenly spaced, all /32
+    s5 = multi_scale_sizes(640, 32, 5)
+    assert s5.tolist() == [320, 480, 640, 800, 960]
+    # 0 = full reference range (train.py:778-783): every /32 size in
+    # [0.5, 1.5]x
+    full = multi_scale_sizes(640, 32, 0)
+    assert full.min() == 320 and full.max() == 960 and len(full) == 21
+    assert all(s % 32 == 0 for s in full)
+    # more buckets than distinct sizes collapses to unique sizes
+    s99 = multi_scale_sizes(64, 32, 99)
+    assert s99.tolist() == [32, 64, 96]
+
+
+def test_fused_loop_matches_fallback(data_yaml, tmp_path):
+    """The pipelined hot loop (one jit program: step N + augment N+1,
+    device-side loss accumulation) must be bit-equivalent to the
+    two-dispatch fallback: identical per-batch PRNG keys, identical final
+    params/EMA."""
+    from mmidet_tpu.train.trainer import TrainConfig, train
+
+    def run(fused, name):
+        cfg = TrainConfig(
+            model="yolov5s_add", data=data_yaml, epochs=2, batch_size=2,
+            img_size=64, workdir=str(tmp_path / name), mosaic_prob=1.0,
+            dtype="float32", notest=True, nosave=True, autoanchor=False,
+            seed=7, fused_loop=fused)
+        return train(cfg)
+
+    a = run(True, "fused")
+    b = run(False, "fallback")
+    pa = jax.tree_util.tree_leaves(a["state"].params)
+    pb = jax.tree_util.tree_leaves(b["state"].params)
+    assert len(pa) == len(pb)
+    for xa, xb in zip(pa, pb):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
