@@ -69,6 +69,9 @@ class TrainConfig:
     autoanchor: bool = True                 # BPR check + kmeans refit
     use_wandb: bool = False
     warmup_floor: int = 1000                # reference's warmup iter floor
+    nbs: int = 64            # nominal batch size (ref train.py:564): sets
+    #                          gradient-accumulation steps round(nbs/batch)
+    #                          and the weight-decay scale
     remat: str = ""                         # '' | 'dots' | 'full' (jax.checkpoint)
     weights: str = ""        # pretrained init: torch .pt | deploy bundle |
     #                          orbax variables dir (tolerant transfer)
@@ -396,7 +399,7 @@ def train(cfg: TrainConfig) -> dict:
                            small, train=False)
     build = build_adam if cfg.adam else build_optimizer
     tx, _ = build(variables["params"], sched, hyp["weight_decay"],
-                  total_batch_size=cfg.batch_size,
+                  total_batch_size=cfg.batch_size, nbs=cfg.nbs,
                   groups=cfg.optimizer_groups, freeze=tuple(cfg.freeze))
     state = init_state(model, tx, jax.random.PRNGKey(cfg.seed), small,
                        small, variables=variables)

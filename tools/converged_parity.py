@@ -184,7 +184,8 @@ def save_ref_pt(m, path: str) -> str:
 
 
 def train_reference(m, data: dict, img: int, batch: int, epochs: int,
-                    hyp: dict, log_every: int = 50):
+                    hyp: dict, log_every: int = 50, nbs: int = 64,
+                    warmup_floor: int = 1000):
     """The reference's own training pipeline at miniature scale on CPU:
     its dataloader, ComputeLoss(Flag=True), 3-group nesterov SGD with
     scaled weight decay, one-cycle cosine LR with the warmup ramp
@@ -197,7 +198,10 @@ def train_reference(m, data: dict, img: int, batch: int, epochs: int,
     from utils.torch_utils import ModelEMA
 
     hyp = dict(hyp)
-    nbs = 64  # nominal batch size (reference train.py:564)
+    # nbs: nominal batch size (reference train.py:564 hardcodes 64; the
+    # rehearsal lowers it SYMMETRICALLY on both arms so optimizer steps
+    # aren't divided by accumulate and both arms can converge in
+    # tractable wall-clock)
     accumulate = max(round(nbs / batch), 1)
     hyp["weight_decay"] *= batch * accumulate / nbs
 
@@ -231,7 +235,7 @@ def train_reference(m, data: dict, img: int, batch: int, epochs: int,
                                   batch, 32, opt_ns, hyp=hyp, augment=False,
                                   rect=False, workers=0)[0]
     nb = len(dl)
-    nw = max(round(hyp["warmup_epochs"] * nb), 1000)  # train.py:765
+    nw = max(round(hyp["warmup_epochs"] * nb), warmup_floor)  # train.py:765
 
     m.train()
     m.hyp = hyp
@@ -278,7 +282,8 @@ def train_reference(m, data: dict, img: int, batch: int, epochs: int,
 
 # ------------------------------------------------------------------- our arm
 def train_ours(cfg: dict, data_yaml: str, init_pt: str, img: int, batch: int,
-               epochs: int, out: str, max_labels: int = 30) -> dict:
+               epochs: int, out: str, max_labels: int = 30, nbs: int = 64,
+               warmup_floor: int = 1000) -> dict:
     """Our own training pipeline from the SAME torch init (converter),
     augmentation off; returns {'map50', ...} evaluated with OUR eval under
     the gate protocol on the best-checkpoint deploy weights."""
@@ -315,7 +320,7 @@ def train_ours(cfg: dict, data_yaml: str, init_pt: str, img: int, batch: int,
         mosaic_prob=0.0, dtype="float32", eval_every=max(epochs // 4, 1),
         # 'reference' optimizer groups: pos_emb/sobel_factor untrained,
         # matching the reference arm's group-walk quirk exactly
-        optimizer_groups="reference",
+        optimizer_groups="reference", nbs=nbs, warmup_floor=warmup_floor,
         seed=0, autoanchor=False, exist_ok=True, weights=init_pt)
     res = trainer.train(tc)
 
@@ -351,6 +356,15 @@ def main(argv=None):
     p.add_argument("--n-train", type=int, default=32)
     p.add_argument("--n-val", type=int, default=16)
     p.add_argument("--out", type=str, default="/tmp/converged_parity")
+    p.add_argument("--nbs", type=int, default=64,
+                   help="nominal batch size (64 = reference train.py:564; "
+                        "set = --batch to disable gradient accumulation "
+                        "SYMMETRICALLY so both arms converge in tractable "
+                        "wall-clock)")
+    p.add_argument("--warmup-floor", type=int, default=1000,
+                   help="warmup iteration floor, both arms (reference "
+                        "train.py:765 hardcodes 1000 — most of a "
+                        "miniature run)")
     p.add_argument("--smoke", action="store_true",
                    help="minutes-scale end-to-end kit self-check")
     args = p.parse_args(argv)
@@ -374,14 +388,16 @@ def main(argv=None):
 
     print("[ours] training...", flush=True)
     ours = train_ours(cfg, data_yaml, init_pt, args.img, args.batch,
-                      args.epochs, out)
+                      args.epochs, out, nbs=args.nbs,
+                      warmup_floor=args.warmup_floor)
     print(f"[ours] {json.dumps(ours)}", flush=True)
 
     print("[ref ] training...", flush=True)
     hyp = load_ref_hyp()
     m0 = build_reference_model(cfg, nc, names, seed=0)  # fresh same init
     trained = train_reference(m0, ref_data, args.img, args.batch,
-                              args.epochs, hyp)
+                              args.epochs, hyp, nbs=args.nbs,
+                              warmup_floor=args.warmup_floor)
     trained_pt = save_ref_pt(trained, os.path.join(out, "ref_trained.pt"))
     ref = run_reference(trained_pt, ref_data, args.img, args.batch,
                         "/root/reference")
@@ -390,6 +406,17 @@ def main(argv=None):
                      "val_ir": ref_data["train_ir"]},
         args.img, args.batch, "/root/reference")
     print(f"[ref ] {json.dumps(ref)}", flush=True)
+
+    # cross-framework EVAL parity on the SAME weights: the torch-trained
+    # model pulled through the converter and scored by OUR eval stack
+    # under the gate protocol — isolates eval-stack agreement from
+    # training-dynamics differences (round-4 measured: 0.1700 ours vs
+    # 0.16999 test.test on identical weights)
+    from parity_kit import run_ours
+    xeval = run_ours(os.path.join(out, "mini_model.yaml"), trained_pt,
+                     ref_data, args.img, args.batch, "/root/reference")
+    print(f"[xevl] ours-eval of torch-trained: {json.dumps(xeval)}",
+          flush=True)
 
     def _r(d):
         return {k: (round(v, 4) if isinstance(v, float) else _r(v))
@@ -401,7 +428,11 @@ def main(argv=None):
     result = {"fusion": args.fusion, "epochs": args.epochs,
               "img": args.img, "batch": args.batch,
               "n_train": args.n_train, "n_val": args.n_val,
+              "nbs": args.nbs, "warmup_floor": args.warmup_floor,
               "ours": _r(ours), "reference": _r(ref),
+              "xeval_ours_on_torch_weights": _r(xeval),
+              "xeval_map50_delta_points": round(
+                  abs(xeval["mAP50"] - ref["mAP50"]) * 100, 3),
               "map50_delta_points_val": round(delta, 3),
               "map50_delta_points_train": round(delta_tr, 3),
               "gate_half_point_train": delta_tr <= 0.5}

@@ -39,6 +39,10 @@ def main(argv=None):
     ap.add_argument("--out", type=str, default="/tmp/s8_gate")
     ap.add_argument("--stage", action="store_true",
                     help="append the record to BENCH_partial.json")
+    ap.add_argument("--warmup-floor", type=int, default=50,
+                    help="warmup iteration floor (the trainer's "
+                         "reference-faithful default of 1000 swallows "
+                         "whole short runs at 1 step/epoch)")
     args = ap.parse_args(argv)
 
     import jax
@@ -64,7 +68,7 @@ def main(argv=None):
         max_labels=30, workdir=os.path.join(args.out, "run"),
         aux_mode="off", mosaic_prob=0.0, dtype=args.dtype,
         eval_every=args.epochs, seed=0, autoanchor=False, notest=True,
-        nosave=True, exist_ok=True)
+        nosave=True, exist_ok=True, warmup_floor=args.warmup_floor)
     res = trainer.train(cfg)
     print(f"trained: internal mAP50 {res['last_results'].map50:.4f}",
           flush=True)
