@@ -435,7 +435,10 @@ def train(cfg: TrainConfig) -> dict:
     # program, tools/train_bench.py) — and accumulates the loss means on
     # device, so the host reads ONE (3,) array per epoch instead of three
     # floats per step.
-    use_fused = cfg.fused_loop and quad_fn is None and not cfg.multi_scale
+    # rect training excluded: its per-batch shapes would make the fused
+    # program retrace per (shape_N, shape_N+1) PAIR — quadratic compiles
+    use_fused = (cfg.fused_loop and quad_fn is None
+                 and not cfg.multi_scale and not cfg.rect)
 
     def _prep(raw):
         return {k: (v.astype(jnp.float32) / 255.0

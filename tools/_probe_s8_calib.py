@@ -74,7 +74,8 @@ def main(argv=None):
                     conf_thres=0.001, iou_thres=0.6, verbose=False)
     print(f"float deploy: mAP50 {ev_f.map50:.4f}", flush=True)
 
-    folded = res["deploy"]
+    folded = fold_batchnorm(res["deploy"]) \
+        if "batch_stats" in res["deploy"] else res["deploy"]
     f_model = model.clone(fused=True, quant=False)
     q_model = model.clone(fused=True, quant=True)
 
