@@ -292,7 +292,7 @@ def train_reference(m, data: dict, img: int, batch: int, epochs: int,
 # ------------------------------------------------------------------- our arm
 def train_ours(cfg: dict, data_yaml: str, init_pt: str, img: int, batch: int,
                epochs: int, out: str, max_labels: int = 30, nbs: int = 64,
-               warmup_floor: int = 1000) -> dict:
+               warmup_floor: int = 1000, seed: int = 0) -> dict:
     """Our own training pipeline from the SAME torch init (converter),
     augmentation off; returns {'map50', ...} evaluated with OUR eval under
     the gate protocol on the best-checkpoint deploy weights."""
@@ -330,7 +330,7 @@ def train_ours(cfg: dict, data_yaml: str, init_pt: str, img: int, batch: int,
         # 'reference' optimizer groups: pos_emb/sobel_factor untrained,
         # matching the reference arm's group-walk quirk exactly
         optimizer_groups="reference", nbs=nbs, warmup_floor=warmup_floor,
-        seed=0, autoanchor=False, exist_ok=True, weights=init_pt)
+        seed=seed, autoanchor=False, exist_ok=True, weights=init_pt)
     res = trainer.train(tc)
 
     model = TwoStreamDetector(spec=res["spec"], use_cem=True, aux_mode="off",
@@ -374,6 +374,10 @@ def main(argv=None):
                    help="warmup iteration floor, both arms (reference "
                         "train.py:765 hardcodes 1000 — most of a "
                         "miniature run)")
+    p.add_argument("--seed", type=int, default=0,
+                   help="shared init/training seed (the same torch init is "
+                        "converted into both arms; the seed varies init and "
+                        "data order for seed-variance characterization)")
     p.add_argument("--smoke", action="store_true",
                    help="minutes-scale end-to-end kit self-check")
     args = p.parse_args(argv)
@@ -389,7 +393,7 @@ def main(argv=None):
     cfg["nc"] = nc
 
     # identical init: torch init -> .pt -> (converter) -> our init
-    m0 = build_reference_model(cfg, nc, names, seed=0)
+    m0 = build_reference_model(cfg, nc, names, seed=args.seed)
     init_pt = save_ref_pt(m0, os.path.join(out, "init.pt"))
 
     print(f"[converged_parity] fusion={args.fusion} epochs={args.epochs} "
@@ -398,12 +402,12 @@ def main(argv=None):
     print("[ours] training...", flush=True)
     ours = train_ours(cfg, data_yaml, init_pt, args.img, args.batch,
                       args.epochs, out, nbs=args.nbs,
-                      warmup_floor=args.warmup_floor)
+                      warmup_floor=args.warmup_floor, seed=args.seed)
     print(f"[ours] {json.dumps(ours)}", flush=True)
 
     print("[ref ] training...", flush=True)
     hyp = load_ref_hyp()
-    m0 = build_reference_model(cfg, nc, names, seed=0)  # fresh same init
+    m0 = build_reference_model(cfg, nc, names, seed=args.seed)  # same init
     trained = train_reference(m0, ref_data, args.img, args.batch,
                               args.epochs, hyp, nbs=args.nbs,
                               warmup_floor=args.warmup_floor)
@@ -435,6 +439,7 @@ def main(argv=None):
     delta_tr = abs(ours["train_split"]["mAP50"]
                    - ref["train_split"]["mAP50"]) * 100
     result = {"fusion": args.fusion, "epochs": args.epochs,
+              "seed": args.seed,
               "img": args.img, "batch": args.batch,
               "n_train": args.n_train, "n_val": args.n_val,
               "nbs": args.nbs, "warmup_floor": args.warmup_floor,
