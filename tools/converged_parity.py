@@ -105,21 +105,22 @@ MINI_ADD_CFG = {
 def get_mini_cfg(fusion: str) -> dict:
     if fusion == "add":
         return copy.deepcopy(MINI_ADD_CFG)
-    if fusion == "add_s":
-        # the reference's own shipped s-scale config, loaded verbatim
-        # (models/transformer/yolov5s_fusion_add_vedai.yaml) — enough
-        # capacity to SATURATE the miniature memorization task, which is
-        # what makes the +-0.5-point gate crisp
+    if fusion in ("add_s", "gpt4_s"):
+        # the reference's own shipped s-scale configs, loaded verbatim —
+        # enough capacity to SATURATE the miniature memorization task,
+        # which is what makes the +-0.5-point gate crisp
         import yaml
-        with open("/root/reference/models/transformer/"
-                  "yolov5s_fusion_add_vedai.yaml") as fh:
+        name = ("yolov5s_fusion_add_vedai.yaml" if fusion == "add_s"
+                else "yolov5s_fusion_transformer_vedai.yaml")
+        with open("/root/reference/models/transformer/" + name) as fh:
             return yaml.safe_load(fh)
     if fusion == "fourier":
         # the flagship fuse3-fourier grammar at 1/16 width — the exact cfg
         # whose converted-forward/gradient/50-step parity is already pinned
         from test_torch_parity import MINI_CFG
         return copy.deepcopy(MINI_CFG)
-    raise ValueError(f"unknown fusion {fusion!r} (add|add_s|fourier)")
+    raise ValueError(
+        f"unknown fusion {fusion!r} (add|add_s|gpt4_s|fourier)")
 
 
 def make_data(out: str, n_train: int, n_val: int, img: int):
@@ -358,7 +359,7 @@ def train_ours(cfg: dict, data_yaml: str, init_pt: str, img: int, batch: int,
 def main(argv=None):
     p = argparse.ArgumentParser("converged_parity")
     p.add_argument("--fusion", type=str, default="add",
-                   choices=["add", "add_s", "fourier"])
+                   choices=["add", "add_s", "gpt4_s", "fourier"])
     p.add_argument("--epochs", type=int, default=600)
     p.add_argument("--img", type=int, default=96)
     p.add_argument("--batch", type=int, default=8)
