@@ -56,6 +56,9 @@ def build_parser():
     p.add_argument("--int8", action="store_true",
                    help="s8-storage quantized deploy (scales calibrated "
                         "on the first source pair — see nn/quant.py)")
+    p.add_argument("--int8-clip", type=float, default=1.0,
+                   help="calibration absmax clip for --int8 (0.9 measured "
+                        "best on a converged model, PERF.md round 4)")
     return p
 
 
@@ -85,7 +88,8 @@ def main(argv=None):
         model, variables = make_quant_deploy(
             model, variables,
             [(jnp.asarray(rl, jnp.float32)[None] / 255.0,
-              jnp.asarray(il, jnp.float32)[None] / 255.0)])
+              jnp.asarray(il, jnp.float32)[None] / 255.0)],
+            clip=args.int8_clip)
 
     @jax.jit
     def _infer(variables, rgb, ir):

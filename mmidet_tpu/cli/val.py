@@ -83,10 +83,13 @@ def build_parser():
                    help="s8-storage quantized deploy (activations cross "
                         "HBM as int8; scales calibrated on the first val "
                         "batch — see nn/quant.py)")
+    p.add_argument("--int8-clip", type=float, default=1.0,
+                   help="calibration absmax clip for --int8 (0.9 measured "
+                        "best on a converged model, PERF.md round 4)")
     return p
 
 
-def _apply_int8(model, variables, ds, img_size: int):
+def _apply_int8(model, variables, ds, img_size: int, clip: float = 1.0):
     """Fold + calibrate on the first val batch -> (q_model, q_vars)."""
     import jax.numpy as jnp
     from mmidet_tpu.data.loader import PairedLoader
@@ -95,7 +98,7 @@ def _apply_int8(model, variables, ds, img_size: int):
                                    drop_last=False, scaleup=False)))
     rgb = jnp.asarray(calib["rgb"], jnp.float32) / 255.0
     ir = jnp.asarray(calib["ir"], jnp.float32) / 255.0
-    return make_quant_deploy(model, variables, [(rgb, ir)])
+    return make_quant_deploy(model, variables, [(rgb, ir)], clip=clip)
 
 
 def main(argv=None):
@@ -112,7 +115,8 @@ def main(argv=None):
             if len(lab):
                 lab[:, 0] = 0.0
     if args.int8:
-        model, variables = _apply_int8(model, variables, ds, args.img_size)
+        model, variables = _apply_int8(model, variables, ds, args.img_size,
+                                       clip=args.int8_clip)
 
     if args.task in ("val", "test"):
         import os

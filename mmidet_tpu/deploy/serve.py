@@ -257,7 +257,7 @@ def serve(service, host: str = "0.0.0.0", port: int = 5000,
 
 
 def _calibrate_int8(model, variables, rgb_dir: str, ir_dir: str,
-                    img_size: int, max_images: int = 4):
+                    img_size: int, max_images: int = 4, clip: float = 1.0):
     """Startup calibration for the s8-storage quantized serving mode:
     letterbox up to ``max_images`` pairs from the calib dirs and hand them
     to ``nn.quant.make_quant_deploy``.  Calibration images should match
@@ -284,7 +284,8 @@ def _calibrate_int8(model, variables, rgb_dir: str, ir_dir: str,
 
     rgb, ir = _load(rgb_dir), _load(ir_dir)
     n = min(rgb.shape[0], ir.shape[0])
-    return make_quant_deploy(model, variables, [(rgb[:n], ir[:n])])
+    return make_quant_deploy(model, variables, [(rgb[:n], ir[:n])],
+                             clip=clip)
 
 
 def main(argv=None):
@@ -317,6 +318,9 @@ def main(argv=None):
                    help="dir of RGB images for --int8 scale calibration")
     p.add_argument("--calib-ir", type=str, default="",
                    help="dir of IR images paired with --calib-rgb")
+    p.add_argument("--int8-clip", type=float, default=1.0,
+                   help="calibration absmax clip for --int8 (0.9 measured "
+                        "best on a converged model, PERF.md round 4)")
     args = p.parse_args(argv)
 
     from mmidet_tpu.cli.val import load_model_and_vars
@@ -324,7 +328,8 @@ def main(argv=None):
         args.cfg, args.weights, nc=args.nc)
     if args.int8:
         model, variables = _calibrate_int8(
-            model, variables, args.calib_rgb, args.calib_ir, args.img_size)
+            model, variables, args.calib_rgb, args.calib_ir, args.img_size,
+            clip=args.int8_clip)
     names = args.names or [str(i) for i in range(args.nc)]
     if args.no_batching:
         service = DetectionService(model, variables, names,

@@ -54,10 +54,12 @@ def test_val_cli(data_yaml):
 
 def test_val_cli_int8(data_yaml):
     """--int8 (s8-storage quantized deploy, nn/quant.make_quant_deploy)
-    runs the full val pipeline and stays sane vs float."""
+    runs the full val pipeline and stays sane vs float; --int8-clip
+    scales the calibration absmax (0.9 measured best, PERF.md r4)."""
     from mmidet_tpu.cli.val import main
     res = main(["--cfg", "yolov5s_add", "--data", data_yaml,
-                "--batch-size", "2", "--img-size", "64", "--int8"])
+                "--batch-size", "2", "--img-size", "64", "--int8",
+                "--int8-clip", "0.9"])
     assert 0.0 <= res.map50 <= 1.0
 
 
