@@ -38,6 +38,9 @@ def build_parser():
     p.add_argument("--nosave", action="store_true")
     p.add_argument("--augment", action="store_true",
                    help="TTA inference (3 scale/flip passes)")
+    p.add_argument("--merge", action="store_true",
+                   help="merge-NMS: weighted-mean box merging (ref "
+                        "general.py:566-574)")
     p.add_argument("--agnostic-nms", action="store_true",
                    help="class-agnostic NMS")
     p.add_argument("--classes", type=int, nargs="+", default=None,
@@ -106,7 +109,8 @@ def main(argv=None):
                                    iou_thres=args.iou_thres,
                                    agnostic=args.agnostic_nms,
                                    classes=tuple(args.classes)
-                                   if args.classes else None)
+                                   if args.classes else None,
+                                   merge=args.merge)
 
     def infer(rgb, ir):
         return _infer(variables, rgb, ir)

@@ -60,9 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--multi-scale", action="store_true",
                    help="vary img-size +/-50%% per batch (one XLA compile "
                         "per size)")
-    p.add_argument("--multi-scale-buckets", type=int, default=5,
-                   help="number of distinct multi-scale sizes (bounds XLA "
-                        "compiles; 0 = full /32 reference range)")
+    p.add_argument("--multi-scale-buckets", type=int, default=0,
+                   help="cap distinct multi-scale sizes to N (bounds XLA "
+                        "compiles); default 0 = full /32 reference range")
     p.add_argument("--rect", action="store_true",
                    help="rectangular (aspect-bucketed) training; disables "
                         "mosaic")

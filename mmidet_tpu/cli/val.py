@@ -57,6 +57,9 @@ def build_parser():
     p.add_argument("--task", type=str, default="val",
                    choices=["val", "test", "speed", "study"])
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--merge", action="store_true",
+                   help="merge-NMS: weighted-mean box merging (ref "
+                        "general.py:566-574)")
     p.add_argument("--save-json", type=str, default="",
                    help="dump COCO-format detections to this path")
     p.add_argument("--coco91", action="store_true",
@@ -139,7 +142,7 @@ def main(argv=None):
                        save_txt_dir=(os.path.join(out_dir, "labels")
                                      if out_dir else None),
                        save_conf=args.save_conf,
-                       save_hybrid=args.save_hybrid)
+                       save_hybrid=args.save_hybrid, merge=args.merge)
         print(json.dumps({"P": res.mp, "R": res.mr, "mAP50": res.map50,
                           "mAP75": res.map75, "mAP": res.map,
                           "speed_ms": res.speed_ms[0]}))

@@ -30,13 +30,14 @@ _INFER_CACHE: "OrderedDict" = OrderedDict()
 
 
 def _get_infer(model, conf_thres, iou_thres, max_det, two_stream,
-               augment=False):
+               augment=False, merge=False):
     try:
-        key = (model, conf_thres, iou_thres, max_det, two_stream, augment)
+        key = (model, conf_thres, iou_thres, max_det, two_stream, augment,
+               merge)
         hash(key)
     except TypeError:
         key = (id(model), conf_thres, iou_thres, max_det, two_stream,
-               augment)
+               augment, merge)
     if key in _INFER_CACHE:
         _INFER_CACHE.move_to_end(key)
     else:
@@ -59,7 +60,7 @@ def _get_infer(model, conf_thres, iou_thres, max_det, two_stream,
             return non_max_suppression(
                 pred.astype(jnp.float32), conf_thres=conf_thres,
                 iou_thres=iou_thres, max_det=max_det,
-                pre_nms_topk=30000, multi_label=True)
+                pre_nms_topk=30000, multi_label=True, merge=merge)
         _INFER_CACHE[key] = infer
         while len(_INFER_CACHE) > _INFER_CACHE_MAX:
             _INFER_CACHE.popitem(last=False)
@@ -103,7 +104,8 @@ def evaluate(model, variables, loader, nc: int,
              media_max: int = 16,
              save_txt_dir: str | None = None,
              save_conf: bool = False,
-             save_hybrid: bool = False) -> EvalResults:
+             save_hybrid: bool = False,
+             merge: bool = False) -> EvalResults:
     """``save_json``: optional COCO-format detection dump (ref test.py
     --save-json).  ``confusion_dir``: write an IoU-matched confusion matrix
     (ref test.py ConfusionMatrix + plot).  ``augment``: TTA — three
@@ -125,7 +127,7 @@ def evaluate(model, variables, loader, nc: int,
         from mmidet_tpu.eval.metrics import ConfusionMatrix
         cm = ConfusionMatrix(nc)
     infer_fn = _get_infer(model, conf_thres, iou_thres, max_det, two_stream,
-                          augment)
+                          augment, merge=merge)
 
     def infer(rgb, ir):
         return infer_fn(variables, rgb, ir)

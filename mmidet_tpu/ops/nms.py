@@ -67,10 +67,43 @@ def _nms_single(boxes: jnp.ndarray, scores: jnp.ndarray, classes: jnp.ndarray,
     return keep_idx, keep_valid
 
 
+def _merge_boxes(cboxes, scores, classes, keep_idx, keep_valid, iou_thres,
+                 max_wh, agnostic, out_boxes):
+    """Fixed-shape merge-NMS (reference ``utils/general.py:566-574``).
+
+    Kept box i is replaced by the score-weighted mean of every candidate
+    whose class-offset IoU with it exceeds ``iou_thres`` (weighted over the
+    UN-offset boxes, as the reference's ``x[:, :4]``); kept boxes whose
+    match count is <=1 (self only) are dropped (the reference's
+    ``redundant`` rule).  The whole transform is a no-op unless the valid
+    candidate count n satisfies 1 < n < 3000 (reference gate at
+    general.py:566)."""
+    pool_valid = scores > -jnp.inf
+    n = pool_valid.sum()
+    offset = jnp.zeros_like(classes) if agnostic else classes * max_wh
+    oboxes = cboxes + offset[:, None]
+    kept_ob = oboxes[keep_idx]                      # (max_det, 4) offset
+    x1 = jnp.maximum(kept_ob[:, None, 0], oboxes[None, :, 0])
+    y1 = jnp.maximum(kept_ob[:, None, 1], oboxes[None, :, 1])
+    x2 = jnp.minimum(kept_ob[:, None, 2], oboxes[None, :, 2])
+    y2 = jnp.minimum(kept_ob[:, None, 3], oboxes[None, :, 3])
+    inter = jnp.clip(x2 - x1, 0) * jnp.clip(y2 - y1, 0)
+    area = lambda b: (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    union = area(kept_ob)[:, None] + area(oboxes)[None, :] - inter
+    iou = inter / (union + 1e-9)
+    match = (iou > iou_thres) & pool_valid[None, :]  # (max_det, K)
+    w = jnp.where(match, scores, 0.0)
+    merged = (w @ cboxes) / jnp.clip(w.sum(1, keepdims=True), 1e-9)
+    apply = (n > 1) & (n < 3000)
+    out_boxes = jnp.where(apply & keep_valid[:, None], merged, out_boxes)
+    keep_valid = keep_valid & jnp.where(apply, match.sum(1) > 1, True)
+    return out_boxes, keep_valid
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("conf_thres", "iou_thres", "max_det", "pre_nms_topk",
-                     "multi_label", "agnostic", "max_wh", "classes"),
+                     "multi_label", "agnostic", "max_wh", "classes", "merge"),
 )
 def non_max_suppression(prediction: jnp.ndarray,
                         conf_thres: float = 0.25,
@@ -80,13 +113,20 @@ def non_max_suppression(prediction: jnp.ndarray,
                         multi_label: bool = False,
                         agnostic: bool = False,
                         max_wh: float = 4096.0,
-                        classes: tuple | None = None):
+                        classes: tuple | None = None,
+                        merge: bool = False):
     """Batched fixed-shape NMS.
 
     Args:
       prediction: (B, N, 5+nc) decoded detector output — [cx, cy, w, h,
         obj_conf, cls_conf...] (the reference Detect inference format).
       pre_nms_topk: static pre-NMS candidate pool size (reference max_nms cap).
+      merge: merge-NMS (reference general.py:566-574): each kept box becomes
+        the confidence-weighted mean of every candidate it overlaps
+        (IoU > iou_thres, class-offset space), and — the reference's
+        ``redundant`` rule — kept boxes supported by no second candidate are
+        dropped.  Applied only when 1 < n < 3000 candidates survive the
+        confidence filter, exactly as the reference gates it.
 
     Returns:
       dets:  (B, max_det, 6) — [x1, y1, x2, y2, conf, cls], zero-padded.
@@ -144,6 +184,10 @@ def non_max_suppression(prediction: jnp.ndarray,
         out_boxes = cboxes[keep_idx]
         out_scores = scores[keep_idx]
         out_classes = classes[keep_idx]
+        if merge:
+            out_boxes, keep_valid = _merge_boxes(
+                cboxes, scores, classes, keep_idx, keep_valid, iou_thres,
+                max_wh, agnostic, out_boxes)
         dets = jnp.concatenate(
             [out_boxes, out_scores[:, None], out_classes[:, None]], axis=1)
         dets = jnp.where(keep_valid[:, None], dets, 0.0)

@@ -81,10 +81,11 @@ class TrainConfig:
     multi_scale: bool = False    # random /32 img size in [0.5,1.5]x per batch
     #                              (ref train.py:778-783; one XLA compile per
     #                              size — slow first epoch over remote compile)
-    multi_scale_buckets: int = 5  # cap the random-size set to N evenly spaced
-    #                               /gs sizes across [0.5,1.5]x (bounds XLA
-    #                               compiles to N; 0 = full reference range,
-    #                               ~21 sizes at 640/32)
+    multi_scale_buckets: int = 0  # opt-in: cap the random-size set to N
+    #                               evenly spaced /gs sizes across [0.5,1.5]x
+    #                               (bounds XLA compiles to N).  Default 0 =
+    #                               the exact reference range (~21 sizes at
+    #                               640/32, train.py:778-783)
     rect: bool = False           # aspect-bucketed train batches (disables
     #                              mosaic, as the reference does)
     fused_loop: bool = True      # pipelined hot loop: one jit program per
@@ -452,6 +453,11 @@ def train(cfg: TrainConfig) -> dict:
         def fused_fn(state, cur, raw_next, k_step, k_aug, loss_acc):
             state, metrics = step_core(state, cur, k_step)
             nxt = augment_core(_prep(raw_next), k_aug)
+            # float32 device accumulation (f64 needs jax_enable_x64, which
+            # TPU lacks): logged epoch-mean loss can differ from the
+            # fallback loop's host-side f64 sum in the last ulps — LOGGING
+            # ONLY; params/EMA/opt_state stay bit-equivalent (pinned by
+            # test_fused_loop_matches_fallback)
             loss_acc = loss_acc + jnp.stack(
                 [metrics["box"], metrics["obj"],
                  metrics["cls"]]).astype(jnp.float32)

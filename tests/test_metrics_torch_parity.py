@@ -376,3 +376,68 @@ def test_box_iou_pairwise_matches_reference(ref_modules):
     ours = box_iou(jnp.asarray(boxes1), jnp.asarray(boxes2))
     np.testing.assert_allclose(np.asarray(ours), ref.numpy(),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("multi_label", [False, True])
+def test_merge_nms_matches_reference(ref_modules, multi_label):
+    """merge=True vs the reference's merge-NMS (general.py:566-574):
+    weighted-mean box merging over the candidate pool + the ``redundant``
+    drop of kept boxes with no second supporting candidate."""
+    _, ref_general = ref_modules
+    import jax.numpy as jnp
+    sys.modules["torchvision"].ops.nms = _greedy_nms_torch
+    from mmidet_tpu.ops.nms import non_max_suppression
+    rng = np.random.default_rng(11)
+    b, n, nc = 2, 120, 4
+    # clustered boxes so merging actually moves coordinates: half the rows
+    # are jittered copies of 20 seed boxes
+    seeds_xy = rng.uniform(60, 560, (20, 2))
+    seeds_wh = rng.uniform(20, 70, (20, 2))
+    xy = np.concatenate([
+        seeds_xy[rng.integers(0, 20, (n // 2,))] + rng.normal(0, 3, (n // 2, 2)),
+        rng.uniform(40, 600, (n - n // 2, 2))])[None].repeat(b, 0)
+    wh = np.concatenate([
+        seeds_wh[rng.integers(0, 20, (n // 2,))] + rng.normal(0, 2, (n // 2, 2)),
+        rng.uniform(8, 80, (n - n // 2, 2))])[None].repeat(b, 0)
+    xy += rng.normal(0, 1, xy.shape)
+    obj = rng.uniform(0, 1, (b, n, 1)) ** 2
+    cls = rng.uniform(0, 1, (b, n, nc))
+    pred = np.concatenate([xy, np.abs(wh), obj, cls], -1).astype(np.float32)
+
+    # the reference hardcodes ``merge = False`` inside the function body
+    # (general.py:505): exec a copy of its own source with the switch ON
+    import inspect
+    import textwrap
+    src = textwrap.dedent(inspect.getsource(ref_general.non_max_suppression))
+    assert "merge = False" in src
+    ns = dict(vars(ref_general))
+    exec(src.replace("merge = False", "merge = True"), ns)
+    ref_out = ns["non_max_suppression"](
+        torch.tensor(pred), conf_thres=0.25, iou_thres=0.45,
+        multi_label=multi_label)
+    dets, valid = non_max_suppression(jnp.asarray(pred), 0.25, 0.45,
+                                      multi_label=multi_label, merge=True)
+    dets, valid = np.asarray(dets), np.asarray(valid)
+    for i in range(b):
+        r = ref_out[i].numpy()
+        o = dets[i][valid[i]]
+        assert o.shape == r.shape
+        np.testing.assert_allclose(o[:, 4], r[:, 4], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(o[:, :4], r[:, :4], rtol=1e-4, atol=1e-2)
+        np.testing.assert_array_equal(o[:, 5].astype(int),
+                                      r[:, 5].astype(int))
+
+
+def test_merge_nms_single_candidate_kept():
+    """n==1 is outside the reference's ``1 < n < 3e3`` merge gate: the lone
+    box must survive (a naive redundant-drop would kill it, since its only
+    match is itself)."""
+    import jax.numpy as jnp
+    from mmidet_tpu.ops.nms import non_max_suppression
+    pred = np.zeros((1, 8, 7), np.float32)
+    pred[0, 0] = [100, 100, 40, 40, 0.9, 0.8, 0.1]
+    dets, valid = non_max_suppression(jnp.asarray(pred), 0.25, 0.45,
+                                      merge=True)
+    assert int(np.asarray(valid).sum()) == 1
+    d = np.asarray(dets)[0, 0]
+    assert d[5] == 0 and d[4] > 0.7

@@ -403,8 +403,10 @@ def test_fused_loop_matches_fallback(data_yaml, tmp_path):
 
     a = run(True, "fused")
     b = run(False, "fallback")
-    pa = jax.tree_util.tree_leaves(a["state"].params)
-    pb = jax.tree_util.tree_leaves(b["state"].params)
-    assert len(pa) == len(pb)
-    for xa, xb in zip(pa, pb):
-        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+    for attr in ("params", "ema", "opt_state"):
+        pa = jax.tree_util.tree_leaves(getattr(a["state"], attr))
+        pb = jax.tree_util.tree_leaves(getattr(b["state"], attr))
+        assert len(pa) == len(pb), attr
+        for xa, xb in zip(pa, pb):
+            np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb),
+                                          err_msg=attr)

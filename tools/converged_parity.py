@@ -46,6 +46,9 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 from parity_kit import PROTOCOL, install_reference, run_reference  # noqa: E402
 
+# reference checkout location (ADVICE r4: parameterized, not hardcoded)
+REF_REPO = os.environ.get("MMIDET_REFERENCE_REPO", "/root/reference")
+
 # mini two-stream Add-fusion grammar (yolov5*_fusion_add_* family,
 # reference models/transformer/yolov5s_fusion_add_vedai.yaml, at small
 # fixed widths / depth 1): two parallel CSP backbones, Add fusion at
@@ -102,7 +105,7 @@ MINI_ADD_CFG = {
 }
 
 
-def get_mini_cfg(fusion: str) -> dict:
+def get_mini_cfg(fusion: str, ref_repo: str = None) -> dict:
     if fusion == "add":
         return copy.deepcopy(MINI_ADD_CFG)
     if fusion in ("add_s", "gpt4_s"):
@@ -112,7 +115,8 @@ def get_mini_cfg(fusion: str) -> dict:
         import yaml
         name = ("yolov5s_fusion_add_vedai.yaml" if fusion == "add_s"
                 else "yolov5s_fusion_transformer_vedai.yaml")
-        with open("/root/reference/models/transformer/" + name) as fh:
+        with open(os.path.join(ref_repo or REF_REPO,
+                       "models", "transformer", name)) as fh:
             return yaml.safe_load(fh)
     if fusion == "fourier":
         # the flagship fuse3-fourier grammar at 1/16 width — the exact cfg
@@ -169,12 +173,12 @@ def make_data(out: str, n_train: int, n_val: int, img: int):
 # ------------------------------------------------------------- reference arm
 def load_ref_hyp() -> dict:
     import yaml
-    with open("/root/reference/data/hyp.scratch.yaml") as fh:
+    with open(os.path.join(REF_REPO, "data", "hyp.scratch.yaml")) as fh:
         return yaml.safe_load(fh)
 
 
 def build_reference_model(cfg: dict, nc: int, names, seed: int = 0):
-    install_reference("/root/reference")
+    install_reference(REF_REPO)
     import torch
     from models.yolo_test import Model  # reference import
 
@@ -414,11 +418,11 @@ def main(argv=None):
                               warmup_floor=args.warmup_floor)
     trained_pt = save_ref_pt(trained, os.path.join(out, "ref_trained.pt"))
     ref = run_reference(trained_pt, ref_data, args.img, args.batch,
-                        "/root/reference")
+                        REF_REPO)
     ref["train_split"] = run_reference(
         trained_pt, {**ref_data, "val_rgb": ref_data["train_rgb"],
                      "val_ir": ref_data["train_ir"]},
-        args.img, args.batch, "/root/reference")
+        args.img, args.batch, REF_REPO)
     print(f"[ref ] {json.dumps(ref)}", flush=True)
 
     # cross-framework EVAL parity on the SAME weights: the torch-trained
@@ -428,7 +432,7 @@ def main(argv=None):
     # 0.16999 test.test on identical weights)
     from parity_kit import run_ours
     xeval = run_ours(os.path.join(out, "mini_model.yaml"), trained_pt,
-                     ref_data, args.img, args.batch, "/root/reference")
+                     ref_data, args.img, args.batch, REF_REPO)
     print(f"[xevl] ours-eval of torch-trained: {json.dumps(xeval)}",
           flush=True)
 
