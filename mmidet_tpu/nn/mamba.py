@@ -232,6 +232,44 @@ def mamba_step(params, cfg: MambaConfig, x_t, cache):
     return out, (h, window[:, 1:])
 
 
+def mamba_cache_init(cfg: MambaConfig, batch: int, dtype=jnp.float32):
+    """Fresh per-layer (h, conv-window) caches for autoregressive stepping.
+    Ref: mamba.py's cache contract — h starts at zero (``h=None`` -> 0) and
+    the conv window is d_conv-1 zeros (equivalent to the padded conv)."""
+    return [(jnp.zeros((batch, cfg.d_inner, cfg.d_state), dtype),
+             jnp.zeros((batch, cfg.d_conv - 1, cfg.d_inner), dtype))
+            for _ in range(cfg.n_layers)]
+
+
+def residual_step(params, cfg: MambaConfig, x_t, cache, eps: float = 1e-5):
+    """O(1) step through one ResidualBlock: RMSNorm -> mixer step -> +x.
+    Ref: mamba.py ResidualBlock.step (mamba.py:104-120).
+
+    params: one ResidualBlock's params ({'norm': .., 'mixer': ..});
+    x_t: (B, d_model)."""
+    w = params["norm"]["weight"]
+    ms = jnp.mean(jnp.square(x_t.astype(jnp.float32)), -1, keepdims=True)
+    y = x_t * jax.lax.rsqrt(ms + eps).astype(x_t.dtype) * w.astype(x_t.dtype)
+    out, cache = mamba_step(params["mixer"], cfg, y, cache)
+    return x_t + out, cache
+
+
+def mamba_stack_step(params, cfg: MambaConfig, x_t, caches):
+    """O(1) autoregressive step through a full Mamba stack with one
+    (h, conv-window) cache per layer.  Ref: mamba.py Mamba.step
+    (mamba.py:77-87) — constant memory and FLOPs per token regardless of
+    how many tokens were generated.
+
+    params: the flax params of a ``Mamba`` module (layer{i} children);
+    x_t: (B, d_model); caches: list from ``mamba_cache_init``.
+    Returns (y_t, new_caches)."""
+    new_caches = []
+    for i in range(cfg.n_layers):
+        x_t, c = residual_step(params[f"layer{i}"], cfg, x_t, caches[i])
+        new_caches.append(c)
+    return x_t, new_caches
+
+
 class MambaFusion(nn.Module):
     """Cross-modal fusion via a bidirectional Mamba stack over the pooled
     token sequence — drop-in alternative to the GPT transformer fusion

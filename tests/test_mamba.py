@@ -57,3 +57,51 @@ def test_mamba_step_matches_parallel():
         outs.append(np.asarray(y))
     step_out = np.stack(outs, axis=1)
     np.testing.assert_allclose(step_out, full, rtol=1e-4, atol=1e-5)
+
+
+def test_mamba_stack_step_matches_parallel():
+    """Full-stack token-by-token step (per-layer (h, conv-window) caches)
+    must reproduce the parallel scan — ref Mamba.step / ResidualBlock.step
+    (mamba.py:77-120,289-340)."""
+    from mmidet_tpu.nn.mamba import (Mamba, mamba_cache_init,
+                                     mamba_stack_step)
+    cfg = MambaConfig(d_model=8, n_layers=2)
+    m = Mamba(cfg)
+    x = jnp.asarray(np.random.default_rng(5).standard_normal(
+        (2, 7, 8)).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(1), x)
+    full = np.asarray(m.apply(v, x))
+
+    caches = mamba_cache_init(cfg, batch=2)
+    outs = []
+    for t in range(x.shape[1]):
+        y, caches = mamba_stack_step(v["params"], cfg, x[:, t], caches)
+        outs.append(np.asarray(y))
+    np.testing.assert_allclose(np.stack(outs, 1), full,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_mamba_stack_step_jit_scan():
+    """The step is jit/scan-compatible: driving it with lax.scan (the
+    TPU-native decode loop) equals the eager token loop."""
+    from mmidet_tpu.nn.mamba import (Mamba, mamba_cache_init,
+                                     mamba_stack_step)
+    cfg = MambaConfig(d_model=8, n_layers=2)
+    m = Mamba(cfg)
+    x = jnp.asarray(np.random.default_rng(6).standard_normal(
+        (1, 5, 8)).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(2), x)
+    full = np.asarray(m.apply(v, x))
+
+    caches0 = mamba_cache_init(cfg, batch=1)
+
+    @jax.jit
+    def decode(params, xs, caches):
+        def body(caches, x_t):
+            y, caches = mamba_stack_step(params, cfg, x_t, caches)
+            return caches, y
+        _, ys = jax.lax.scan(body, caches, jnp.swapaxes(xs, 0, 1))
+        return jnp.swapaxes(ys, 0, 1)
+
+    ys = np.asarray(decode(v["params"], x, caches0))
+    np.testing.assert_allclose(ys, full, rtol=1e-4, atol=1e-5)
