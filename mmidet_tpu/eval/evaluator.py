@@ -105,7 +105,9 @@ def evaluate(model, variables, loader, nc: int,
              save_txt_dir: str | None = None,
              save_conf: bool = False,
              save_hybrid: bool = False,
-             merge: bool = False) -> EvalResults:
+             merge: bool = False,
+             shard: bool = True,
+             devices=None) -> EvalResults:
     """``save_json``: optional COCO-format detection dump (ref test.py
     --save-json).  ``confusion_dir``: write an IoU-matched confusion matrix
     (ref test.py ConfusionMatrix + plot).  ``augment``: TTA — three
@@ -129,6 +131,22 @@ def evaluate(model, variables, loader, nc: int,
     infer_fn = _get_infer(model, conf_thres, iou_thres, max_det, two_stream,
                           augment, merge=merge)
 
+    # Data-parallel eval over all local devices (VERDICT r4 #6): the batch
+    # dim shards over a 1-D 'data' mesh, params replicate — the same
+    # pattern as deploy/serve.py; the forward has no cross-example math, so
+    # results are identical to single-device.  Reference eval is
+    # rank-0-only (test.test is called on rank 0, train.py:842-844); on TPU
+    # the data axis is free parallelism.
+    bsh = n_dev = None
+    devs = list(jax.devices() if devices is None else devices)
+    if shard and len(devs) > 1:
+        from mmidet_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                              replicated)
+        mesh = make_mesh(n_data=len(devs), n_model=1, devices=devs)
+        bsh = batch_sharding(mesh)
+        variables = jax.device_put(variables, replicated(mesh))
+        n_dev = len(devs)
+
     def infer(rgb, ir):
         return infer_fn(variables, rgb, ir)
 
@@ -137,17 +155,29 @@ def evaluate(model, variables, loader, nc: int,
     n_img = 0
     n_media = 0
     for batch in loader:
-        rgb = jnp.asarray(batch["rgb"], jnp.float32) / 255.0
-        ir = jnp.asarray(batch["ir"], jnp.float32) / 255.0
+        rgb = np.asarray(batch["rgb"], np.float32) / 255.0
+        ir = np.asarray(batch["ir"], np.float32) / 255.0
+        b0 = rgb.shape[0]
         t0 = time.perf_counter()
+        if bsh is not None:
+            pad = (-b0) % n_dev  # ragged final batch -> shardable size
+            if pad:
+                rgb = np.concatenate(
+                    [rgb, np.zeros((pad,) + rgb.shape[1:], rgb.dtype)])
+                ir = np.concatenate(
+                    [ir, np.zeros((pad,) + ir.shape[1:], ir.dtype)])
+            rgb = jax.device_put(rgb, bsh)
+            ir = jax.device_put(ir, bsh)
+        else:
+            rgb, ir = jnp.asarray(rgb), jnp.asarray(ir)
         dets, valid = infer(rgb, ir)
-        dets = np.asarray(jax.block_until_ready(dets))
-        valid = np.asarray(valid)
+        dets = np.asarray(jax.block_until_ready(dets))[:b0]
+        valid = np.asarray(valid)[:b0]
         t_inf += time.perf_counter() - t0
-        n_img += rgb.shape[0]
+        n_img += b0
 
         ih, iw = rgb.shape[1], rgb.shape[2]
-        for si in range(rgb.shape[0]):
+        for si in range(b0):
             d = dets[si][valid[si]]
             lab = batch["targets"][si][batch["mask"][si]]
             orig_shape, ratio_pad = batch["shapes"][si]
@@ -185,7 +215,7 @@ def evaluate(model, variables, loader, nc: int,
                 os.makedirs(save_txt_dir, exist_ok=True)
                 files = batch.get("files")
                 stem = os.path.splitext(os.path.basename(
-                    files[si]))[0] if files else f"img{n_img - rgb.shape[0] + si}"
+                    files[si]))[0] if files else f"img{n_img - b0 + si}"
                 oh, ow = orig_shape
                 lines = []
                 for x1, y1, x2, y2, conf, cls in d:

@@ -236,3 +236,36 @@ def test_evaluator_save_txt_and_media(tmp_path):
     for r in rows:  # normalized coords
         assert all(-0.01 <= float(x) <= 1.5 for x in r[1:5])
     assert len(os.listdir(media)) == 2
+
+
+def test_sharded_eval_matches_single_device(tmp_path):
+    """Data-parallel eval over the 8-device virtual CPU mesh (VERDICT r4
+    #6) must produce the same metrics as single-device eval, including a
+    ragged final batch that gets padded to shardable size."""
+    from mmidet_tpu.data.datasets import PairedDataset, load_data_yaml
+    from mmidet_tpu.data.loader import PairedLoader
+    from mmidet_tpu.data.synthetic import make_synthetic_pair_dataset
+    from mmidet_tpu.eval.evaluator import evaluate
+    from mmidet_tpu.models.detector import TwoStreamDetector
+    from mmidet_tpu.models.zoo import two_stream_spec
+
+    assert len(jax.devices()) >= 2, "conftest should provide 8 CPU devices"
+    yml = make_synthetic_pair_dataset(str(tmp_path), n=5, img=96)
+    d = load_data_yaml(yml)
+    ds = PairedDataset(d["train_rgb"], d["train_ir"], nc=2,
+                       cache_dir=str(tmp_path))
+    spec = two_stream_spec("t", "add", nc=2)
+    model = TwoStreamDetector(spec=spec, aux_mode="off")
+    small = jnp.zeros((1, 64, 64, 3))
+    v = model.init({"params": jax.random.PRNGKey(3)}, small, small,
+                   train=False)
+
+    # batch 3 over 5 images -> final ragged batch of 2 (pad-to-8 path)
+    mk = lambda: PairedLoader(ds, batch_size=3, img_size=64, max_labels=16,
+                              drop_last=False)
+    a = evaluate(model, v, mk(), nc=2, conf_thres=0.01, shard=True)
+    b = evaluate(model, v, mk(), nc=2, conf_thres=0.01, shard=False)
+    assert a.map50 == pytest.approx(b.map50, abs=1e-9)
+    assert a.map == pytest.approx(b.map, abs=1e-9)
+    assert a.mp == pytest.approx(b.mp, abs=1e-9)
+    assert a.mr == pytest.approx(b.mr, abs=1e-9)
