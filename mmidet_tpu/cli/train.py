@@ -24,6 +24,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--project", type=str, default="runs/train")
     p.add_argument("--name", type=str, default="exp")
     p.add_argument("--adam", action="store_true")
+    p.add_argument("--mesh", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="shard training over all local devices on a "
+                        "('data','model') GSPMD mesh (replaces the "
+                        "reference's DataParallel/DDP)")
+    p.add_argument("--n-model", type=int, default=1,
+                   help="'model' axis width: output-channel tensor "
+                        "parallelism on wide kernels")
+    p.add_argument("--tp-min-out", type=int, default=256,
+                   help="min out-channels for a kernel to shard on the "
+                        "'model' axis")
     p.add_argument("--linear-lr", action="store_true")
     p.add_argument("--resume", type=str, default="",
                    help="workdir to resume from, or a "
@@ -80,6 +91,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="param-path substrings to freeze, e.g. backbone_rgb")
     p.add_argument("--noautoanchor", action="store_true",
                    help="disable the pre-training anchor-fit check")
+    p.add_argument("--warmup-floor", type=int, default=1000,
+                   help="warmup iteration floor (the reference hardcodes "
+                        "1000, train.py:765); lower for short runs")
     p.add_argument("--label-smoothing", type=float, default=None,
                    help="BCE label smoothing epsilon (overrides hyp)")
     p.add_argument("--cache-images", action="store_true",
@@ -108,6 +122,7 @@ def main(argv=None):
         model=args.cfg, data=args.data, hyp=args.hyp, epochs=args.epochs,
         batch_size=args.batch_size, img_size=args.img_size,
         workdir=f"{args.project}/{args.name}", adam=args.adam,
+        mesh=args.mesh, n_model=args.n_model, tp_min_out=args.tp_min_out,
         linear_lr=args.linear_lr, resume=args.resume,
         mosaic_prob=0.0 if args.no_mosaic else 1.0,
         use_cem=not args.no_cem, aux_mode=args.aux_mode, dtype=args.dtype,
@@ -123,6 +138,7 @@ def main(argv=None):
         log_artifacts=args.log_artifacts,
         artifact_alias=args.artifact_alias,
         autoanchor=not args.noautoanchor,
+        warmup_floor=args.warmup_floor,
         label_smoothing=args.label_smoothing,
         cache_images=args.cache_images, quad=args.quad,
         bucket=args.bucket, entity=args.entity,

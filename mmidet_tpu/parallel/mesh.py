@@ -73,6 +73,26 @@ def shard_pytree_like(tree, template_shardings, mesh: Mesh):
     return jax.tree_util.tree_map(lambda _: rep, tree)
 
 
+def shard_train_state(state, mesh: Mesh, tp_min_out: int = 256):
+    """Place a TrainState on the mesh for production training: params and
+    the EMA's params shard per ``param_shardings`` (output-channel TP on
+    wide kernels, replicated otherwise); BatchNorm stats and the EMA
+    update counter replicate.  The optimizer state keeps its default
+    placement — its momentum buffers mirror the params, so GSPMD
+    propagates their layout through the first jitted step."""
+    psh = param_shardings(state.params, mesh, tp_min_out)
+    rep = replicated(mesh)
+    ema = {"params": jax.device_put(state.ema["params"], psh),
+           "batch_stats": jax.device_put(state.ema["batch_stats"], rep),
+           "updates": jax.device_put(state.ema["updates"], rep)}
+    return type(state)(
+        params=jax.device_put(state.params, psh),
+        batch_stats=jax.device_put(state.batch_stats, rep),
+        opt_state=state.opt_state,
+        ema=ema,
+        step=jax.device_put(state.step, rep))
+
+
 def shard_inference(model, variables, mesh: Mesh, two_stream: bool = True,
                     decode: bool = True):
     """Build a data-parallel jitted inference fn over the mesh: batch shards

@@ -48,6 +48,15 @@ logger = logging.getLogger(__name__)
 @dataclasses.dataclass
 class TrainConfig:
     model: str = "yolov5l_fuse3_fourier"   # zoo name or YAML path
+    mesh: str = "auto"   # 'auto': shard training over all local devices
+    #                      (('data','model') GSPMD mesh — the TPU-native
+    #                      replacement for the reference's default
+    #                      multi-GPU DataParallel/DDP, train.py:641-643,
+    #                      683-686); 'off': single-device jit; 'on': force
+    n_model: int = 1     # 'model' axis width: output-channel tensor
+    #                      parallelism on wide kernels (parallel/mesh.py)
+    tp_min_out: int = 256  # min out-channels for a kernel to shard on the
+    #                        'model' axis (production TP gate)
     data: str = ""                         # dataset YAML path
     hyp: str | dict = ""                   # hyp YAML path or dict
     epochs: int = 100
@@ -212,6 +221,81 @@ def transfer_matching(template: dict, loaded: dict) -> tuple[dict, int, int]:
             tflat[k] = jnp.asarray(src, v.dtype)
             copied += 1
     return flax.traverse_util.unflatten_dict(tflat), copied, len(tflat)
+
+
+def build_sched_and_loss(cfg: TrainConfig, hyp: dict,
+                         steps_per_epoch: int):
+    sched = ScheduleConfig(
+        lr0=hyp["lr0"], lrf=hyp["lrf"], momentum=hyp["momentum"],
+        warmup_epochs=hyp["warmup_epochs"],
+        warmup_momentum=hyp["warmup_momentum"],
+        warmup_bias_lr=hyp["warmup_bias_lr"], epochs=cfg.epochs,
+        steps_per_epoch=steps_per_epoch, linear_lr=cfg.linear_lr,
+        warmup_floor=cfg.warmup_floor)
+    loss_hyp = LossHyp(
+        box=hyp["box"], cls=hyp["cls"], cls_pw=hyp["cls_pw"],
+        obj=hyp["obj"], obj_pw=hyp["obj_pw"], anchor_t=hyp["anchor_t"],
+        fl_gamma=hyp["fl_gamma"],
+        label_smoothing=hyp.get("label_smoothing", 0.0))
+    return sched, loss_hyp
+
+
+def assemble_step(cfg: TrainConfig, spec, model, variables, hyp: dict,
+                  steps_per_epoch: int):
+    """The production step assembly: optimizer groups + schedule + loss hyp
+    + anchors + the fused train step.  Shared by ``train()`` and the
+    driver's multichip dryrun (``__graft_entry__.dryrun_multichip``), so
+    the dryrun validates the REAL trainer path rather than a copy.
+
+    Returns (state, tx, step_core, sched)."""
+    sched, loss_hyp = build_sched_and_loss(cfg, hyp, steps_per_epoch)
+    build = build_adam if cfg.adam else build_optimizer
+    tx, _ = build(variables["params"], sched, hyp["weight_decay"],
+                  total_batch_size=cfg.batch_size, nbs=cfg.nbs,
+                  groups=cfg.optimizer_groups, freeze=tuple(cfg.freeze))
+    state = init_state(model, tx, jax.random.PRNGKey(cfg.seed), None, None,
+                       variables=variables)
+    anchors = _anchors_grid(spec)
+    # NOTE: no donate_argnums on the state — state.ema aliases state.params
+    # at init (and after pretrained transfer), and donating the same buffer
+    # through two leaves is a runtime error; donation also measured
+    # time-neutral on this model (PERF.md, 145.6 vs 146.4 ms).
+    step_core = make_train_step(model, tx, anchors, loss_hyp,
+                                ema_decay=cfg.ema_decay,
+                                remat=cfg.remat or None)
+    return state, tx, step_core, sched
+
+
+def setup_mesh(cfg: TrainConfig, devices=None):
+    """The production ('data','model') mesh (VERDICT r4 #1), or
+    (None, None) when a single device is available or ``cfg.mesh='off'``.
+
+    The 'data' axis width is clamped to the largest divisor of
+    ``cfg.batch_size`` (the reference asserts batch % world_size == 0 for
+    DDP, train.py:992-996; clamping keeps auto mode usable at any batch).
+    Returns (mesh, batch_sharding)."""
+    from mmidet_tpu.parallel.mesh import batch_sharding, make_mesh
+    devices = list(jax.devices() if devices is None else devices)
+    n_model = max(int(cfg.n_model), 1)
+    if cfg.mesh == "off" or (len(devices) == 1 and n_model == 1):
+        if n_model > 1 and cfg.mesh != "off":
+            raise ValueError(f"n_model={n_model} needs >1 device")
+        return None, None
+    if n_model > len(devices):
+        raise ValueError(f"n_model={n_model} > {len(devices)} devices")
+    n_data = len(devices) // n_model
+    while cfg.batch_size % n_data:
+        n_data -= 1
+    if n_data * n_model == 1:
+        return None, None
+    if n_data < len(devices) // n_model:
+        logger.warning(
+            "mesh: data axis clamped to %d (batch %d not divisible by %d)",
+            n_data, cfg.batch_size, len(devices) // n_model)
+    mesh = make_mesh(n_data=n_data, n_model=n_model, devices=devices)
+    logger.info("mesh: data=%d x model=%d over %d devices", n_data,
+                n_model, len(devices))
+    return mesh, batch_sharding(mesh)
 
 
 def train(cfg: TrainConfig) -> dict:
@@ -382,28 +466,11 @@ def train(cfg: TrainConfig) -> dict:
             raise ValueError("--quad needs --batch-size divisible by 4")
         quad_fn = jax.jit(quad_batch)
 
-    sched = ScheduleConfig(
-        lr0=hyp["lr0"], lrf=hyp["lrf"], momentum=hyp["momentum"],
-        warmup_epochs=hyp["warmup_epochs"],
-        warmup_momentum=hyp["warmup_momentum"],
-        warmup_bias_lr=hyp["warmup_bias_lr"], epochs=cfg.epochs,
-        steps_per_epoch=steps_per_epoch, linear_lr=cfg.linear_lr,
-        warmup_floor=cfg.warmup_floor)
-    loss_hyp = LossHyp(
-        box=hyp["box"], cls=hyp["cls"], cls_pw=hyp["cls_pw"],
-        obj=hyp["obj"], obj_pw=hyp["obj_pw"], anchor_t=hyp["anchor_t"],
-        fl_gamma=hyp["fl_gamma"],
-        label_smoothing=hyp.get("label_smoothing", 0.0))
-
     small = jnp.zeros((1, 64, 64, 3), jnp.float32)
     variables = model.init({"params": jax.random.PRNGKey(cfg.seed)}, small,
                            small, train=False)
-    build = build_adam if cfg.adam else build_optimizer
-    tx, _ = build(variables["params"], sched, hyp["weight_decay"],
-                  total_batch_size=cfg.batch_size, nbs=cfg.nbs,
-                  groups=cfg.optimizer_groups, freeze=tuple(cfg.freeze))
-    state = init_state(model, tx, jax.random.PRNGKey(cfg.seed), small,
-                       small, variables=variables)
+    state, tx, step_core, sched = assemble_step(cfg, spec, model, variables,
+                                                hyp, steps_per_epoch)
     if cfg.weights:  # pretrained init (ref --weights + intersect_dicts)
         loaded = load_pretrained_variables(cfg.weights,
                                            {"params": state.params,
@@ -418,15 +485,28 @@ def train(cfg: TrainConfig) -> dict:
             batch_stats=merged["batch_stats"],
             ema={**state.ema, "params": merged["params"],
                  "batch_stats": merged["batch_stats"]})
-    anchors = _anchors_grid(spec)
-    # NOTE: no donate_argnums on the state — state.ema aliases state.params
-    # at init (and after pretrained transfer), and donating the same buffer
-    # through two leaves is a runtime error; donation also measured
-    # time-neutral on this model (PERF.md, 145.6 vs 146.4 ms).
-    step_core = make_train_step(model, tx, anchors, loss_hyp,
-                                ema_decay=cfg.ema_decay,
-                                remat=cfg.remat or None)
+    # --- production multi-chip placement (VERDICT r4 #1): shard the state
+    # over the ('data','model') mesh; batches shard below; gradient psum is
+    # implicit under GSPMD.  Replaces the reference's DataParallel/DDP
+    # default multi-GPU modes (train.py:641-643,683-686).
+    mesh, bsh = setup_mesh(cfg)
+    if mesh is not None:
+        from mmidet_tpu.parallel.mesh import shard_train_state
+        state = shard_train_state(state, mesh, tp_min_out=cfg.tp_min_out)
     step_fn = jax.jit(step_core)
+
+    def _to_dev(arrs: dict) -> dict:
+        """Batch arrays -> device; batch dim sharded over 'data' when the
+        mesh is up (ragged batches keep default placement — their shapes
+        already force a separate compile)."""
+        out = {}
+        for k, v in arrs.items():
+            v = np.asarray(v)
+            if bsh is not None and v.shape[0] % mesh.shape["data"] == 0:
+                out[k] = jax.device_put(v, bsh)
+            else:
+                out[k] = jnp.asarray(v)
+        return out
 
     # Pipelined hot loop (VERDICT r3 #5): when no per-batch host-side
     # transform is needed (no quad regroup, no multi-scale resize), each
@@ -532,8 +612,8 @@ def train(cfg: TrainConfig) -> dict:
             cur, k_step_cur = None, None
             for batch in loader:
                 rng, k_aug, k_step = jax.random.split(rng, 3)
-                raw = {k: jnp.asarray(v) for k, v in batch.items()
-                       if k not in ("shapes", "files")}
+                raw = _to_dev({k: v for k, v in batch.items()
+                               if k not in ("shapes", "files")})
                 if cur is None:
                     cur = augment_prep(raw, k_aug)
                 else:
@@ -552,8 +632,8 @@ def train(cfg: TrainConfig) -> dict:
         else:
             for batch in loader:
                 rng, k_aug, k_step = jax.random.split(rng, 3)
-                jb = {k: jnp.asarray(v) for k, v in batch.items()
-                      if k not in ("shapes", "files")}
+                jb = _to_dev({k: v for k, v in batch.items()
+                              if k not in ("shapes", "files")})
                 jb = augment(_prep(jb), k_aug)
                 if quad_fn is not None:
                     rng, k_q = jax.random.split(rng)
