@@ -63,10 +63,12 @@ def model_floor(scale: str = "s", variant: str = "gpt4", img: int = 640,
     # byte accumulators: stage label -> activation elems (bf16-countable)
     stages: dict[str, float] = {}
     s8_elig: dict[str, bool] = {}  # stage maps inside the s8store conv scope
+    flops: dict[str, float] = {}   # stage label -> FLOPs (2 x MACs)
 
-    def add(label, elems, s8=False):
+    def add(label, elems, s8=False, fl=0.0):
         stages[label] = stages.get(label, 0.0) + elems
         s8_elig[label] = s8_elig.get(label, False) or s8
+        flops[label] = flops.get(label, 0.0) + fl
 
     def in_hw(f):
         for j in feeders(f):
@@ -101,22 +103,46 @@ def model_floor(scale: str = "s", variant: str = "gpt4", img: int = 640,
         cout[i] = c
 
         e = h * w  # elems per channel
+        # input channels = first real feeder's c_out (raw input: 3)
+        c_in = 3
+        for j in js:
+            if j == SECOND_INPUT:
+                c_in = 3
+                break
+            if j == -1:
+                j = i - 1
+            if j >= 0 and j in cout:
+                c_in = cout[j]
+                break
         # stage label: backbone vs head by position of the first Concat-up
         if name in ("Conv", "Focus", "DWConv"):
-            add(f"{name}@{h}x{w}x{c}", 2 * e * c, s8=True)
+            if name == "Focus":
+                fl = 2.0 * 9 * 12 * c * e  # space2depth(12ch) + 3x3 conv
+            else:
+                k = l.args[1] if len(l.args) > 1 else 1
+                fl = 2.0 * k * k * c_in * c * e
+            add(f"{name}@{h}x{w}x{c}", 2 * e * c, s8=True, fl=fl)
         elif name in ("C3", "BottleneckCSP", "C3TR"):
             ch = c // 2
             elems = (2 * ch + l.n * 2 * ch + 2 * ch + c) * e
-            add(f"C3x{l.n}@{h}x{w}x{c}", 2 * elems, s8=True)
+            # cv1+cv2 (1x1 c_in->ch) + n x (1x1 + 3x3 ch->ch) + cv3 (1x1 c->c)
+            fl = 2.0 * e * (2 * c_in * ch + l.n * (ch * ch + 9 * ch * ch)
+                            + c * c)
+            add(f"C3x{l.n}@{h}x{w}x{c}", 2 * elems, s8=True, fl=fl)
         elif name in ("SPP", "SPPF"):
             ch = cout[js[0] if js[0] >= 0 else i - 1] // 2
             elems = (ch + 3 * ch + 4 * ch + c) * e
-            add(f"SPP@{h}x{w}x{c}", 2 * elems, s8=True)
+            fl = 2.0 * e * (c_in * ch + 4 * ch * c)
+            add(f"SPP@{h}x{w}x{c}", 2 * elems, s8=True, fl=fl)
         elif name in ("GPT", "GPT1", "GPT1_fourier"):
             # two full-res outputs + pooled 8x8 token pipeline (16 maps of
             # 64 tokens x d over the 8-layer stack, both streams)
             toks = 2 * 8 * 8 * c * (2 * spec.fusion_layers + 2)
-            add(f"{name}@{h}x{w}x{c}", 2 * (2 * e * c) + 2 * toks)
+            # transformer stack: 24d^2 FLOPs/token/layer (qkv 6d^2, proj
+            # 2d^2, MLP x4 16d^2; T=128 tokens incl. both modalities;
+            # attention O(T^2 d) is <2% at T=128 and omitted)
+            fl = spec.fusion_layers * 128 * 24.0 * c * c
+            add(f"{name}@{h}x{w}x{c}", 2 * (2 * e * c) + 2 * toks, fl=fl)
         elif name in ("Add", "Add2", "Concat", "Contract", "Expand",
                       "Upsample", "nn.Upsample", "MambaFusion"):
             add(f"glue@{h}x{w}", 2 * e * c)
@@ -135,15 +161,20 @@ def model_floor(scale: str = "s", variant: str = "gpt4", img: int = 640,
     # 0.138 ms/img CEM slice, which is the tell that XLA already fuses it.
     e = img * img
     cem = 2 * (2 * e * 24 + 2 * e * 3 + 2 * e * 3)
-    stages["CEM@%dx%d (both streams)" % (img, img)] = cem
-    s8_elig["CEM@%dx%d (both streams)" % (img, img)] = False
+    k_cem = "CEM@%dx%d (both streams)" % (img, img)
+    stages[k_cem] = cem
+    s8_elig[k_cem] = False
+    # per stream: conv2 3->24 (3x3) + factored 8-direction bank over 24ch
+    # + conv3 24->3 (3x3); x2 FLOP/MAC, x2 streams
+    flops[k_cem] = 2 * 2.0 * e * (9 * 3 * 24 + 9 * 24 * 8 + 9 * 24 * 3)
     # raw input read (both streams)
     stages["input read (2 streams)"] = 2 * e * 3
     s8_elig["input read (2 streams)"] = False
+    flops["input read (2 streams)"] = 0.0
 
     # ---- params ------------------------------------------------------------
     import numpy as np  # noqa: F401
-    return spec, stages, s8_elig
+    return spec, stages, s8_elig, flops
 
 
 def main():
@@ -151,7 +182,7 @@ def main():
     variant = sys.argv[2] if len(sys.argv) > 2 else "gpt4"
     img = int(sys.argv[3]) if len(sys.argv) > 3 else 640
 
-    spec, stages, s8_elig = model_floor(scale, variant, img)
+    spec, stages, s8_elig, _fl = model_floor(scale, variant, img)
 
     # group rows: conv stack / fusion / glue / CEM / detect / input
     groups = {"conv stack (s8-eligible)": 0.0, "fusion transformers": 0.0,
