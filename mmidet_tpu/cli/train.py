@@ -91,6 +91,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="param-path substrings to freeze, e.g. backbone_rgb")
     p.add_argument("--noautoanchor", action="store_true",
                    help="disable the pre-training anchor-fit check")
+    p.add_argument("--nbs", type=int, default=64,
+                   help="nominal batch size (the reference hardcodes 64, "
+                        "train.py:564): gradient accumulation = "
+                        "round(nbs/batch); set = --batch-size to disable")
     p.add_argument("--warmup-floor", type=int, default=1000,
                    help="warmup iteration floor (the reference hardcodes "
                         "1000, train.py:765); lower for short runs")
@@ -138,7 +142,7 @@ def main(argv=None):
         log_artifacts=args.log_artifacts,
         artifact_alias=args.artifact_alias,
         autoanchor=not args.noautoanchor,
-        warmup_floor=args.warmup_floor,
+        warmup_floor=args.warmup_floor, nbs=args.nbs,
         label_smoothing=args.label_smoothing,
         cache_images=args.cache_images, quad=args.quad,
         bucket=args.bucket, entity=args.entity,

@@ -77,18 +77,37 @@ def shard_train_state(state, mesh: Mesh, tp_min_out: int = 256):
     """Place a TrainState on the mesh for production training: params and
     the EMA's params shard per ``param_shardings`` (output-channel TP on
     wide kernels, replicated otherwise); BatchNorm stats and the EMA
-    update counter replicate.  The optimizer state keeps its default
-    placement — its momentum buffers mirror the params, so GSPMD
-    propagates their layout through the first jitted step."""
+    update counter replicate.  Optimizer-state leaves whose shape matches
+    a TP-sharded kernel (momentum traces mirror the params) get that
+    kernel's sharding; everything else in it replicates.  Explicit
+    placement of the WHOLE state matters on resume: orbax restores arrays
+    committed to device 0, and jit rejects mixing those with mesh-committed
+    params."""
+    import flax
     psh = param_shardings(state.params, mesh, tp_min_out)
     rep = replicated(mesh)
+    # shape -> sharding rule for TP-sharded kernels (the rule is a pure
+    # function of shape at fixed tp_min_out, so this is unambiguous)
+    shape_rule = {}
+    pflat = flax.traverse_util.flatten_dict(state.params)
+    sflat = flax.traverse_util.flatten_dict(psh)
+    for k, v in pflat.items():
+        s = sflat[k]
+        if any(p is not None for p in s.spec):
+            shape_rule[tuple(v.shape)] = s
+
+    def place_like_params(leaf):
+        return jax.device_put(
+            leaf, shape_rule.get(tuple(getattr(leaf, "shape", ())), rep))
+
     ema = {"params": jax.device_put(state.ema["params"], psh),
            "batch_stats": jax.device_put(state.ema["batch_stats"], rep),
            "updates": jax.device_put(state.ema["updates"], rep)}
     return type(state)(
         params=jax.device_put(state.params, psh),
         batch_stats=jax.device_put(state.batch_stats, rep),
-        opt_state=state.opt_state,
+        opt_state=jax.tree_util.tree_map(place_like_params,
+                                         state.opt_state),
         ema=ema,
         step=jax.device_put(state.step, rep))
 

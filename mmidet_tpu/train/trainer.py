@@ -341,6 +341,28 @@ def train(cfg: TrainConfig) -> dict:
     if cfg.resume and os.path.isdir(os.path.join(r, "ckpt")):
         workdir = r
         resume_src = os.path.join(r, "ckpt")
+        # in-place resume adopts the stored run config for every field
+        # that determines the TRAIN-STATE STRUCTURE (the reference
+        # re-reads opt.yaml and replaces opt wholesale, train.py:1004-1008
+        # — we keep the caller's schedule fields so `--resume --epochs N`
+        # can extend a run, a deliberate improvement): otherwise e.g.
+        # resuming an --adam run with default flags builds an SGD
+        # opt_state and the checkpoint restore structure-mismatches
+        opt_path = os.path.join(r, "opt.yaml")
+        if os.path.isfile(opt_path):
+            with open(opt_path) as fh:
+                stored = yaml.safe_load(fh) or {}
+            keep = {k: stored[k] for k in
+                    ("model", "adam", "optimizer_groups", "nbs",
+                     "batch_size", "use_cem", "aux_mode", "dtype",
+                     "single_cls") if k in stored}
+            if isinstance(stored.get("freeze"), list):
+                keep["freeze"] = tuple(stored["freeze"])
+            cfg = dataclasses.replace(cfg, **keep)
+            hyp_path = os.path.join(r, "hyp.yaml")
+            if os.path.isfile(hyp_path):
+                cfg = dataclasses.replace(cfg, hyp=hyp_path)
+            hyp = load_hyp(cfg.hyp)
     elif cfg.resume and os.path.isdir(r):
         workdir = increment_path(cfg.workdir, cfg.exist_ok)
         resume_src = r
@@ -552,6 +574,12 @@ def train(cfg: TrainConfig) -> dict:
             if meta:
                 start_epoch = int(meta.get("epoch", -1)) + 1
                 best_fit = float(meta.get("best_fitness", -1.0))
+            if mesh is not None:
+                # orbax restores arrays committed to device 0; re-place
+                # the whole state on the mesh (jit rejects mixed commits)
+                from mmidet_tpu.parallel.mesh import shard_train_state
+                state = shard_train_state(state, mesh,
+                                          tp_min_out=cfg.tp_min_out)
             logger.info("resumed from %s at epoch %d", src, start_epoch)
         except FileNotFoundError:
             logger.warning("no checkpoint to resume under %s", src)
@@ -599,6 +627,7 @@ def train(cfg: TrainConfig) -> dict:
             pass
         plotted_batches += 1
 
+    res = None  # survives an already-finished resume (empty epoch range)
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
         mloss = np.zeros(3)

@@ -76,7 +76,9 @@ def test_export_cli(tmp_path):
 
 def test_train_cli_single_stream(data_yaml, tmp_path):
     """The reference's legacy single-stream driver (train.py:45-473):
-    plain train/val dataset yaml + a no-fusion single-stream model."""
+    plain train/val dataset yaml + a no-fusion single-stream model, driven
+    end-to-end through the trainer — loss descends over epochs and the
+    checkpoint round-trips through resume (VERDICT r4 #9)."""
     import yaml
     d = yaml.safe_load(open(data_yaml))
     ss_yaml = str(tmp_path / "ss.yaml")
@@ -84,10 +86,42 @@ def test_train_cli_single_stream(data_yaml, tmp_path):
         yaml.safe_dump({"train": d["train_rgb"], "val": d["val_rgb"],
                         "nc": d["nc"], "names": d["names"]}, fh)
     from mmidet_tpu.cli.train import main
+    hyp_yaml = str(tmp_path / "hyp.yaml")
+    with open(hyp_yaml, "w") as fh:
+        yaml.safe_dump({"warmup_epochs": 0.0, "lr0": 0.001}, fh)
     out = main([
         "--cfg", "yolov5s", "--data", ss_yaml,
-        "--epochs", "1", "--batch-size", "2", "--img-size", "64",
+        "--epochs", "4", "--batch-size", "2", "--img-size", "64",
+        "--project", str(tmp_path / "runs"), "--name", "ss",
+        "--no-mosaic", "--dtype", "float32", "--eval-every", "1",
+        # real optimizer steps from step 1: warmup off (floor 0 +
+        # warmup_epochs 0) and nbs=batch (otherwise round(64/2)=32
+        # accumulation micro-steps mean the optimizer never steps in a
+        # short run); adam for reliable early descent over 12 steps
+        "--warmup-floor", "0", "--hyp", hyp_yaml, "--nbs", "2", "--adam",
+    ])
+    results = os.path.join(out["workdir"], "results.txt")
+    assert os.path.isfile(results)
+    # loss descends: sum of box/obj/cls epoch means, first vs last epoch
+    rows = []
+    for line in open(results):
+        parts = line.split()
+        rows.append(float(parts[2]) + float(parts[4]) + float(parts[6]))
+    assert len(rows) == 4
+    assert rows[-1] < rows[0], rows
+
+    # checkpoint round-trip: resume the finished run in place — the
+    # trainer restores epoch/best_fitness and immediately returns (all
+    # epochs done), proving the state was readable
+    out2 = main([
+        "--cfg", "yolov5s", "--data", ss_yaml,
+        "--epochs", "3", "--batch-size", "2", "--img-size", "64",
         "--project", str(tmp_path / "runs"), "--name", "ss",
         "--no-mosaic", "--dtype", "float32",
+        "--resume", out["workdir"],
     ])
-    assert os.path.isfile(os.path.join(out["workdir"], "results.txt"))
+    assert out2["workdir"] == out["workdir"]
+    la = jax.tree_util.tree_leaves(out["state"].params)
+    lb = jax.tree_util.tree_leaves(out2["state"].params)
+    for xa, xb in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
