@@ -300,7 +300,14 @@ def train_ours(cfg: dict, data_yaml: str, init_pt: str, img: int, batch: int,
                warmup_floor: int = 1000, seed: int = 0) -> dict:
     """Our own training pipeline from the SAME torch init (converter),
     augmentation off; returns {'map50', ...} evaluated with OUR eval under
-    the gate protocol on the best-checkpoint deploy weights."""
+    the gate protocol on the FINAL EMA weights — symmetric with the
+    reference arm, which evaluates its final ``ModelEMA`` state.  (Round-5
+    finding: evaluating our best-VAL-fitness deploy checkpoint here
+    understated the train-split memorization score by ~13 points on the
+    fourier arm — the best-val epoch lands long before memorization
+    completes — while the reference arm was scored at its final EMA.  The
+    deploy/best-checkpoint policy is the right PRODUCT behavior; for the
+    convergence gate both arms must be scored at the same point.)"""
     import yaml as _yaml
 
     import jax
@@ -342,9 +349,12 @@ def train_ours(cfg: dict, data_yaml: str, init_pt: str, img: int, batch: int,
                               dtype=jnp.float32)
     data = load_data_yaml(data_yaml)
 
+    final_ema = {"params": res["state"].ema["params"],
+                 "batch_stats": res["state"].ema["batch_stats"]}
+
     def _eval(rgb_dir, ir_dir):
         ds = PairedDataset(rgb_dir, ir_dir, nc=int(data["nc"]))
-        ev = evaluate(model, res["deploy"], RectLoader(ds, batch, img),
+        ev = evaluate(model, final_ema, RectLoader(ds, batch, img),
                       int(data["nc"]), conf_thres=PROTOCOL["conf_thres"],
                       iou_thres=PROTOCOL["iou_thres"],
                       names=data.get("names"), verbose=False)
