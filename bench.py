@@ -309,8 +309,11 @@ def _measure():
             # training throughput is an official tracked metric since
             # round 5 (VERDICT r4 #5) — reference analog: the epoch hot
             # loop, train.py:712-825
+            # batch 64 is the measured optimum (sweep 2026-08-21:
+            # 92.9 @16, 109.5 @32, 127.9 @64, OOM @128 — the raw 4-image
+            # mosaic inputs alone are 5 GB at 128)
             _try("train", lambda: _measure_train(
-                int(os.environ.get("BENCH_TRAIN_BATCH", "16"))))
+                int(os.environ.get("BENCH_TRAIN_BATCH", "64"))))
 
     print(json.dumps(record), flush=True)
 
